@@ -1,0 +1,26 @@
+"""spconv_tpu — TPU-native spatially sparse convolution framework.
+
+From-scratch JAX/XLA/Pallas re-creation of the capabilities of
+traveller59/spconv (see SURVEY.md): sparse conv tensors, submanifold /
+regular / inverse / transposed sparse convolutions, sparse pooling,
+voxelization, int8 inference paths — designed for XLA's static-shape
+compilation model and the TPU MXU rather than translated from CUDA.
+"""
+
+__version__ = "0.1.0"
+
+from .core import SparseConvTensor, expand_nd, scatter_nd
+from .module import Module, partition, combine, filter_grad, filter_value_and_grad
+from . import ops
+
+__all__ = [
+    "SparseConvTensor",
+    "expand_nd",
+    "scatter_nd",
+    "Module",
+    "partition",
+    "combine",
+    "filter_grad",
+    "filter_value_and_grad",
+    "ops",
+]

@@ -1,0 +1,293 @@
+"""SparseConvTensor — the central sparse data structure, as a JAX pytree.
+
+Behavioral parity with the reference ``spconv/pytorch/core.py:132``
+(``SparseConvTensor``): a ``[N, C]`` feature matrix plus a ``[N, ndim+1]``
+int32 coordinate matrix (batch index first), a dense ``spatial_shape``,
+``batch_size``, and an ``indice_dict`` rulebook cache keyed by
+``indice_key`` for submanifold-rulebook reuse and inverse convolutions.
+
+TPU-native differences (by design, see SURVEY.md §7):
+
+* **Static shapes.**  ``features``/``indices`` are padded to a fixed buffer
+  size ``N_buf``; row ``i`` is *active* iff ``indices[i, 0] >= 0``.
+  Inactive rows carry ``indices == -1`` and ``features == 0`` (framework
+  invariant — every op preserves it).  The true count lives in
+  ``num_voxels`` as a **device scalar** that never syncs to host inside a
+  step (the reference instead reads dynamic counts on host, e.g.
+  ``ops.py:939`` — the classic GPU sync point we eliminate).
+* **Pytree.**  The tensor (including its cached rulebooks) flows through
+  ``jax.jit`` / ``jax.grad`` / ``shard_map`` directly.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "SparseConvTensor",
+    "IndiceData",
+    "ImplicitGemmIndiceData",
+    "expand_nd",
+    "scatter_nd",
+]
+
+
+def expand_nd(ndim: int, val: Union[int, Sequence[int]]) -> Tuple[int, ...]:
+    """Broadcast a scalar conv parameter to ``ndim`` dims.
+
+    Parity: ``spconv/pytorch/core.py:expand_nd``.
+    """
+    if isinstance(val, (int, np.integer)):
+        return (int(val),) * ndim
+    val = tuple(int(v) for v in val)
+    assert len(val) == ndim, f"expected length {ndim}, got {val}"
+    return val
+
+
+def scatter_nd(indices: jax.Array, updates: jax.Array, shape: Sequence[int]) -> jax.Array:
+    """TF-style scatter_nd (last-writer-wins like the reference's
+    ``core.py:115`` torch edition).  Out-of-range indices are dropped.
+    """
+    ret = jnp.zeros(tuple(shape), dtype=updates.dtype)
+    return ret.at[tuple(indices[..., i] for i in range(indices.shape[-1]))].set(
+        updates, mode="drop"
+    )
+
+
+class _PytreeRecord:
+    """Small pytree base for rulebook records: array fields = leaves."""
+
+    _leaf_fields: Tuple[str, ...] = ()
+    _static_fields: Tuple[str, ...] = ()
+
+    def __init_subclass__(cls, **kw):
+        super().__init_subclass__(**kw)
+
+        def flatten(obj):
+            children = tuple(getattr(obj, f) for f in cls._leaf_fields)
+            aux = tuple(getattr(obj, f) for f in cls._static_fields)
+            return children, aux
+
+        def unflatten(aux, children):
+            obj = object.__new__(cls)
+            for f, v in zip(cls._leaf_fields, children):
+                setattr(obj, f, v)
+            for f, v in zip(cls._static_fields, aux):
+                setattr(obj, f, v)
+            return obj
+
+        jax.tree_util.register_pytree_node(cls, flatten, unflatten)
+
+
+class IndiceData(_PytreeRecord):
+    """Rulebook record (parity: ``spconv/pytorch/core.py:60`` IndiceData +
+    ``:81`` ImplicitGemmIndiceData, unified).
+
+    * ``pair_fwd``: ``[kv, N_out]`` int32 — input row feeding output ``o``
+      through filter offset ``k`` (−1 when none).
+    * ``pair_bwd``: ``[kv, N_in]`` int32 — output row fed by input ``i``
+      through offset ``k`` (−1 when none).  For subm this is the
+      offset-mirrored view of ``pair_fwd``.
+    * ``out_indices``: ``[N_out, ndim+1]`` output coordinates (−1 pad).
+    * ``indices``: the layer's input coordinates (for inverse conv).
+    * ``num_out``: device scalar — number of active output sites.
+    """
+
+    _leaf_fields = ("pair_fwd", "pair_bwd", "out_indices", "indices", "num_out")
+    _static_fields = (
+        "is_subm",
+        "spatial_shape",
+        "out_spatial_shape",
+        "ksize",
+        "stride",
+        "padding",
+        "dilation",
+        "transposed",
+    )
+
+    def __init__(
+        self,
+        pair_fwd: jax.Array,
+        pair_bwd: jax.Array,
+        out_indices: jax.Array,
+        indices: jax.Array,
+        num_out: jax.Array,
+        *,
+        is_subm: bool,
+        spatial_shape: Tuple[int, ...],
+        out_spatial_shape: Tuple[int, ...],
+        ksize: Tuple[int, ...],
+        stride: Tuple[int, ...],
+        padding: Tuple[int, ...],
+        dilation: Tuple[int, ...],
+        transposed: bool = False,
+    ):
+        self.pair_fwd = pair_fwd
+        self.pair_bwd = pair_bwd
+        self.out_indices = out_indices
+        self.indices = indices
+        self.num_out = num_out
+        self.is_subm = is_subm
+        self.spatial_shape = tuple(spatial_shape)
+        self.out_spatial_shape = tuple(out_spatial_shape)
+        self.ksize = tuple(ksize)
+        self.stride = tuple(stride)
+        self.padding = tuple(padding)
+        self.dilation = tuple(dilation)
+        self.transposed = transposed
+
+
+# alias kept for API parity with the reference, which distinguishes the two
+ImplicitGemmIndiceData = IndiceData
+
+
+class SparseConvTensor:
+    """See module docstring.  Construct with already-padded buffers, or use
+    :meth:`from_dense` / ``spconv_tpu.utils.PointToVoxel``.
+    """
+
+    def __init__(
+        self,
+        features: jax.Array,
+        indices: jax.Array,
+        spatial_shape: Sequence[int],
+        batch_size: int,
+        num_voxels: Optional[jax.Array] = None,
+        indice_dict: Optional[Dict[str, IndiceData]] = None,
+        benchmark: bool = False,
+    ):
+        assert features.ndim == 2, "features must be [N, C]"
+        assert indices.ndim == 2, "indices must be [N, ndim+1]"
+        ndim = indices.shape[1] - 1
+        assert len(spatial_shape) == ndim, "spatial shape must equal ndim"
+        self.features = features
+        self.indices = indices
+        self.spatial_shape = tuple(int(s) for s in spatial_shape)
+        self.batch_size = int(batch_size)
+        if num_voxels is None:
+            num_voxels = jnp.sum((indices[:, 0] >= 0).astype(jnp.int32))
+        self.num_voxels = num_voxels
+        self.indice_dict: Dict[str, IndiceData] = (
+            {} if indice_dict is None else indice_dict
+        )
+        self.benchmark = benchmark
+        self.benchmark_record: Dict[str, Any] = {}
+
+    # ------------------------------------------------------------------
+    @property
+    def ndim(self) -> int:
+        return self.indices.shape[1] - 1
+
+    @property
+    def valid_mask(self) -> jax.Array:
+        """[N] bool — active rows."""
+        return self.indices[:, 0] >= 0
+
+    @property
+    def spatial_size(self) -> int:
+        return int(np.prod(self.spatial_shape))
+
+    def replace_feature(self, feature: jax.Array) -> "SparseConvTensor":
+        """Functional feature swap (parity: ``core.py:198``).  The new
+        features must keep inactive rows at zero; use
+        :meth:`replace_feature_masked` for ops that don't."""
+        new = self.shadow_copy()
+        new.features = feature
+        return new
+
+    def replace_feature_masked(self, feature: jax.Array) -> "SparseConvTensor":
+        """replace_feature that re-zeroes inactive rows (safe for e.g.
+        sigmoid/bias-like ops whose f(0) != 0)."""
+        feature = jnp.where(self.valid_mask[:, None], feature, 0)
+        return self.replace_feature(feature)
+
+    def find_indice_pair(self, key: Optional[str]) -> Optional[IndiceData]:
+        if key is None:
+            return None
+        return self.indice_dict.get(key, None)
+
+    def dense(self, channels_first: bool = True) -> jax.Array:
+        """Densify to ``[B, C, *spatial]`` (parity: ``core.py:264``)."""
+        ndim = self.ndim
+        shape = (self.batch_size, *self.spatial_shape, self.features.shape[1])
+        # clamp inactive rows to index 0; their features are 0 but .set would
+        # overwrite — drop them instead by routing to an out-of-range index.
+        idx = jnp.where(self.indices >= 0, self.indices, np.iinfo(np.int32).max)
+        res = scatter_nd(idx, self.features, shape)
+        if not channels_first:
+            return res
+        perm = (0, ndim + 1, *range(1, ndim + 1))
+        return jnp.transpose(res, perm)
+
+    @classmethod
+    def from_dense(cls, x: jax.Array, pad_to: Optional[int] = None) -> "SparseConvTensor":
+        """Create from a dense ``[B, *spatial, C]`` array (parity:
+        ``core.py:237``).  Note: traced-shape friendly only when ``pad_to``
+        is given; otherwise runs eagerly on concrete arrays."""
+        batch = x.shape[0]
+        spatial = x.shape[1:-1]
+        mask = jnp.any(x != 0, axis=-1)
+        flat_mask = mask.reshape(-1)
+        n = int(jnp.sum(flat_mask)) if pad_to is None else pad_to
+        order = jnp.argsort(~flat_mask, stable=True)[:n]
+        found = flat_mask[order]
+        coords = jnp.stack(jnp.unravel_index(order, (batch, *spatial)), axis=-1)
+        coords = jnp.where(found[:, None], coords, -1).astype(jnp.int32)
+        feats = x.reshape(-1, x.shape[-1])[order]
+        feats = jnp.where(found[:, None], feats, 0)
+        return cls(feats, coords, spatial, batch, num_voxels=jnp.sum(found.astype(jnp.int32)))
+
+    def select_by_index(self, valid_indices: jax.Array) -> "SparseConvTensor":
+        """Gather a subset of rows (parity: ``core.py:select_by_index``)."""
+        new = self.shadow_copy()
+        new.features = self.features[valid_indices]
+        new.indices = self.indices[valid_indices]
+        new.num_voxels = jnp.sum((new.indices[:, 0] >= 0).astype(jnp.int32))
+        new.indice_dict = {}
+        return new
+
+    def shadow_copy(self) -> "SparseConvTensor":
+        new = object.__new__(SparseConvTensor)
+        new.features = self.features
+        new.indices = self.indices
+        new.spatial_shape = self.spatial_shape
+        new.batch_size = self.batch_size
+        new.num_voxels = self.num_voxels
+        new.indice_dict = dict(self.indice_dict)
+        new.benchmark = self.benchmark
+        new.benchmark_record = dict(self.benchmark_record)
+        return new
+
+    def __repr__(self):
+        return (
+            f"SparseConvTensor[shape={tuple(self.features.shape)}, "
+            f"spatial={self.spatial_shape}, batch={self.batch_size}]"
+        )
+
+
+def _sct_flatten(t: SparseConvTensor):
+    keys = tuple(sorted(t.indice_dict.keys()))
+    children = (t.features, t.indices, t.num_voxels) + tuple(
+        t.indice_dict[k] for k in keys
+    )
+    aux = (t.spatial_shape, t.batch_size, keys, t.benchmark)
+    return children, aux
+
+
+def _sct_unflatten(aux, children):
+    spatial_shape, batch_size, keys, benchmark = aux
+    t = object.__new__(SparseConvTensor)
+    t.features, t.indices, t.num_voxels = children[:3]
+    t.indice_dict = dict(zip(keys, children[3:]))
+    t.spatial_shape = spatial_shape
+    t.batch_size = batch_size
+    t.benchmark = benchmark
+    t.benchmark_record = {}
+    return t
+
+
+jax.tree_util.register_pytree_node(SparseConvTensor, _sct_flatten, _sct_unflatten)

@@ -1,0 +1,27 @@
+"""Op-level API (parity with ``spconv/pytorch/ops.py``'s public surface,
+re-architected for XLA static shapes)."""
+
+from .coords import (
+    get_conv_output_size,
+    get_deconv_output_size,
+    kernel_offsets,
+    linearize,
+    delinearize,
+)
+from .rulebook import build_subm_rulebook, build_conv_rulebook, get_indice_pairs
+from .gather_gemm import indice_conv, gather_mm, dgrad_gather_mm, wgrad_gather_mm
+
+__all__ = [
+    "get_conv_output_size",
+    "get_deconv_output_size",
+    "kernel_offsets",
+    "linearize",
+    "delinearize",
+    "build_subm_rulebook",
+    "build_conv_rulebook",
+    "get_indice_pairs",
+    "indice_conv",
+    "gather_mm",
+    "dgrad_gather_mm",
+    "wgrad_gather_mm",
+]

@@ -1,0 +1,190 @@
+"""Coordinate math for sparse convolution.
+
+Re-creates the semantics of the reference's ``ConvOutLocIter``
+(``spconv/csrc/sparse/indices.py:77-271``): per-filter-offset mapping
+between input coordinates ("nhw") and output coordinates ("npq") under
+stride / padding / dilation, with bounds and stride-divisibility checks —
+but vectorised over all sites and offsets at once so XLA compiles a single
+fused elementwise program instead of a CUDA thread loop.
+
+All functions are shape-static and jittable.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "get_conv_output_size",
+    "get_deconv_output_size",
+    "kernel_offsets",
+    "linearize",
+    "delinearize",
+    "key_dtype_for",
+    "out_coords_all_offsets",
+    "subm_padding",
+]
+
+INT32_MAX = np.iinfo(np.int32).max
+
+
+def get_conv_output_size(
+    input_size: Sequence[int],
+    kernel_size: Sequence[int],
+    stride: Sequence[int],
+    padding: Sequence[int],
+    dilation: Sequence[int],
+) -> List[int]:
+    """Standard conv output size (parity: ``spconv/pytorch/ops.py:73-83``,
+    including the ksize==-1 → global (size 1) convention)."""
+    out = []
+    for i in range(len(input_size)):
+        if kernel_size[i] == -1:
+            out.append(1)
+        else:
+            size = (
+                input_size[i] + 2 * padding[i] - dilation[i] * (kernel_size[i] - 1) - 1
+            ) // stride[i] + 1
+            out.append(int(size))
+    return out
+
+
+def get_deconv_output_size(
+    input_size: Sequence[int],
+    kernel_size: Sequence[int],
+    stride: Sequence[int],
+    padding: Sequence[int],
+    dilation: Sequence[int],
+    output_padding: Sequence[int],
+) -> List[int]:
+    """Transposed-conv output size (parity: ``ops.py:85-96``)."""
+    out = []
+    for i in range(len(input_size)):
+        if kernel_size[i] == -1:
+            raise ValueError("deconv doesn't support kernel_size < 0")
+        size = (
+            (input_size[i] - 1) * stride[i]
+            - 2 * padding[i]
+            + kernel_size[i]
+            + output_padding[i]
+        )
+        out.append(int(size))
+    return out
+
+
+def subm_padding(ksize: Sequence[int], dilation: Sequence[int]) -> Tuple[int, ...]:
+    """Submanifold convs implicitly pad so out shape == in shape
+    (the reference's pair-gen for subm takes no padding argument at all,
+    ``ops.py:204-235``)."""
+    return tuple((k // 2) * d for k, d in zip(ksize, dilation))
+
+
+def kernel_offsets(ksize: Sequence[int]) -> np.ndarray:
+    """``[kv, ndim]`` integer offsets in the reference's filter-offset
+    enumeration order (row-major over kernel dims — matches
+    ``ConvOutLocIter::operator++`` / ``LayoutRS``, ``indices.py:116-126``)."""
+    grids = np.meshgrid(*[np.arange(k) for k in ksize], indexing="ij")
+    return np.stack([g.reshape(-1) for g in grids], axis=-1).astype(np.int32)
+
+
+def key_dtype_for(spatial_shape: Sequence[int], batch_size: int):
+    """int32 keys unless batch*volume overflows (parity: the int64-hash-key
+    switch at ``ops.py:188-190``)."""
+    vol = int(np.prod([int(s) for s in spatial_shape])) * int(batch_size)
+    return jnp.int64 if vol >= INT32_MAX else jnp.int32
+
+
+def linearize(
+    indices: jax.Array,
+    spatial_shape: Sequence[int],
+    batch_size: int,
+    valid: jax.Array | None = None,
+):
+    """Linearize ``[N, ndim+1]`` (batch-first) coords to sortable scalar keys.
+
+    Invalid rows map to the sentinel ``volume * batch_size`` (sorts last).
+    Parity: ``LayoutNPQ`` linearization in ``indices.py:104-110``.
+    Returns (keys [N], sentinel value).
+    """
+    shape = [int(s) for s in spatial_shape]
+    kdt = key_dtype_for(shape, batch_size)
+    if valid is None:
+        valid = indices[:, 0] >= 0
+    key = indices[:, 0].astype(kdt)
+    for i, s in enumerate(shape):
+        key = key * s + indices[:, i + 1].astype(kdt)
+    sentinel = np.array(int(np.prod(shape)) * int(batch_size), dtype=kdt)
+    key = jnp.where(valid, key, sentinel)
+    return key, sentinel
+
+
+def delinearize(keys: jax.Array, spatial_shape: Sequence[int], valid: jax.Array):
+    """Inverse of :func:`linearize` → ``[N, ndim+1]`` int32, −1 for invalid."""
+    shape = [int(s) for s in spatial_shape]
+    coords = []
+    rem = keys
+    for s in reversed(shape):
+        coords.append(rem % s)
+        rem = rem // s
+    coords.append(rem)
+    out = jnp.stack(list(reversed(coords)), axis=-1).astype(jnp.int32)
+    return jnp.where(valid[:, None], out, -1)
+
+
+def out_coords_all_offsets(
+    indices: jax.Array,
+    ksize: Sequence[int],
+    stride: Sequence[int],
+    padding: Sequence[int],
+    dilation: Sequence[int],
+    out_shape: Sequence[int],
+    batch_size: int,
+    transposed: bool = False,
+    subm: bool = False,
+):
+    """For every (filter offset k, input site i): candidate output coordinate
+    and validity.
+
+    Forward conv (parity ``query_npq``, ``indices.py:177-203``):
+      ``q = (h + pad - k*dil) / stride`` valid iff divisible & in-bounds.
+    Transposed conv (parity ``query_nhw_out`` with swapped roles,
+    ``indices.py:252-269``): ``q = h*stride - pad + k*dil``.
+    Subm (parity ``query_npq_no_stride`` ``:208`` with implicit padding):
+      stride forced to 1, padding = (k//2)*dil.
+
+    Returns: out_coords ``[kv, N, ndim+1]`` int32, valid ``[kv, N]`` bool.
+    """
+    ndim = indices.shape[1] - 1
+    offs = jnp.asarray(kernel_offsets(ksize))  # [kv, ndim]
+    if subm:
+        padding = subm_padding(ksize, dilation)
+        stride = (1,) * ndim
+    st = jnp.asarray(list(stride), dtype=jnp.int32)
+    pad = jnp.asarray(list(padding), dtype=jnp.int32)
+    dil = jnp.asarray(list(dilation), dtype=jnp.int32)
+    oshape = jnp.asarray([int(s) for s in out_shape], dtype=jnp.int32)
+
+    in_valid = indices[:, 0] >= 0  # [N]
+    b = indices[None, :, 0]  # [1, N]
+    xyz = indices[None, :, 1:]  # [1, N, ndim]
+    k_off = offs[:, None, :]  # [kv, 1, ndim]
+
+    if not transposed:
+        num = xyz + pad - k_off * dil  # [kv, N, ndim]
+        q = num // st
+        # use true divisibility (floor semantics match C++ here because the
+        # in-bounds check q >= 0 discards every negative-numerator case)
+        div_ok = (num % st) == 0
+        valid = jnp.all((q >= 0) & (q < oshape) & div_ok, axis=-1)
+    else:
+        q = xyz * st - pad + k_off * dil
+        valid = jnp.all((q >= 0) & (q < oshape), axis=-1)
+    valid = valid & in_valid[None, :]
+    bq = jnp.broadcast_to(b[..., None], (*q.shape[:-1], 1))
+    out_coords = jnp.concatenate([bq, q], axis=-1).astype(jnp.int32)
+    out_coords = jnp.where(valid[..., None], out_coords, -1)
+    return out_coords, valid

@@ -1,0 +1,284 @@
+"""Rulebook (indice-pair) generation — sort-based, static-shape, TPU-native.
+
+The reference builds rulebooks with GPU hash tables + atomics and reads
+dynamic output counts back to the host (``spconv/csrc/sparse/indices.py``,
+``spconv/pytorch/ops.py:150-330``).  Neither pattern maps to XLA: we need
+static shapes and no host syncs.  This module re-derives the same
+input↔output pair structure with sorts, segmented dedup and conflict-free
+scatters — all bounded buffers + validity masks (the reference's own
+``num_out_act_bound`` deployment mode, ``ops.py:264-266``, made the
+default and only mode).
+
+Pair layout (matches the reference's implicit-gemm records,
+``spconv/pytorch/core.py:81-112``):
+
+* ``pair_fwd[kv, N_out]`` — input row feeding output ``o`` via offset ``k``.
+* ``pair_bwd[kv, N_in]``  — output row fed by input ``i`` via offset ``k``.
+
+Both are −1 where no pair exists.  For a fixed ``k`` the map ``o → i`` is
+injective, so every scatter below is conflict-free.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import IndiceData
+from . import coords as C
+
+__all__ = [
+    "build_subm_rulebook",
+    "build_conv_rulebook",
+    "get_indice_pairs",
+]
+
+
+def _sorted_lookup(sorted_keys: jax.Array, sorted_vals: jax.Array, queries: jax.Array):
+    """Query a sorted key table: returns values (or −1) for each query.
+
+    TPU-native replacement for the reference's GPU hash probe
+    (``csrc/hash/core.py`` LinearHashTableSplit.lookup).
+    """
+    pos = jnp.searchsorted(sorted_keys, queries)
+    pos = jnp.minimum(pos, sorted_keys.shape[0] - 1)
+    found = sorted_keys[pos] == queries
+    vals = sorted_vals[pos]
+    return jnp.where(found, vals, -1)
+
+
+@partial(jax.jit, static_argnames=("spatial_shape", "batch_size", "ksize", "dilation"))
+def build_subm_rulebook(
+    indices: jax.Array,
+    *,
+    spatial_shape: Tuple[int, ...],
+    batch_size: int,
+    ksize: Tuple[int, ...],
+    dilation: Tuple[int, ...],
+) -> IndiceData:
+    """Submanifold rulebook: output sites == input sites.
+
+    Uses the reference's center-identity + offset-mirror symmetry
+    (``indices.py:757-804`` writes pairs for ``k`` and ``kv-1-k`` at once),
+    so only ``kv//2`` sorted-table probes are needed.
+    """
+    ksize = tuple(int(k) for k in ksize)
+    dilation = tuple(int(d) for d in dilation)
+    assert all(k % 2 == 1 for k in ksize), "subm requires odd kernel size"
+    n = indices.shape[0]
+    ndim = indices.shape[1] - 1
+    kv = int(np.prod(ksize))
+    center = kv // 2
+
+    valid = indices[:, 0] >= 0
+    keys, _sent = C.linearize(indices, spatial_shape, batch_size, valid)
+    order = jnp.argsort(keys)
+    sorted_keys = keys[order]
+    sorted_vals = order.astype(jnp.int32)
+
+    iota = jnp.arange(n, dtype=jnp.int32)
+    identity = jnp.where(valid, iota, -1)
+
+    offs = C.kernel_offsets(ksize)  # [kv, ndim] numpy
+    centers = np.array([k // 2 for k in ksize])
+    disp = (offs - centers) * np.array(dilation)  # displacement per offset
+
+    pair_rows = [None] * kv
+    pair_rows[center] = identity
+    shape_arr = jnp.asarray([int(s) for s in spatial_shape], dtype=jnp.int32)
+
+    for k in range(center):
+        d = jnp.asarray(disp[k], dtype=jnp.int32)
+        ncoord = indices[:, 1:] + d  # site at coord(o)+d feeds o via offset k
+        in_bounds = jnp.all((ncoord >= 0) & (ncoord < shape_arr), axis=-1) & valid
+        nfull = jnp.concatenate([indices[:, :1], ncoord], axis=-1)
+        nkeys, _ = C.linearize(nfull, spatial_shape, batch_size, in_bounds)
+        src = _sorted_lookup(sorted_keys, sorted_vals, nkeys)
+        src = jnp.where(in_bounds, src, -1)
+        pair_rows[k] = src
+        # mirror: if a feeds o via k then o feeds a via kv-1-k  ⇒
+        # pair_fwd[kv-1-k][a] = o, scatter through src (conflict-free).
+        mirror = jnp.full((n,), -1, dtype=jnp.int32)
+        mirror = mirror.at[jnp.where(src >= 0, src, n)].set(
+            jnp.where(src >= 0, iota, -1), mode="drop"
+        )
+        pair_rows[kv - 1 - k] = mirror
+
+    pair_fwd = jnp.stack(pair_rows, axis=0)
+    # subm: input i feeds output at coord(i) - d_k = coord(i) + d_{kv-1-k}
+    pair_bwd = pair_fwd[::-1]
+    num = jnp.sum(valid.astype(jnp.int32))
+    return IndiceData(
+        pair_fwd=pair_fwd,
+        pair_bwd=pair_bwd,
+        out_indices=indices,
+        indices=indices,
+        num_out=num,
+        is_subm=True,
+        spatial_shape=tuple(spatial_shape),
+        out_spatial_shape=tuple(spatial_shape),
+        ksize=ksize,
+        stride=(1,) * ndim,
+        padding=C.subm_padding(ksize, dilation),
+        dilation=dilation,
+        transposed=False,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "spatial_shape",
+        "batch_size",
+        "ksize",
+        "stride",
+        "padding",
+        "dilation",
+        "out_padding",
+        "transposed",
+        "out_bound",
+    ),
+)
+def build_conv_rulebook(
+    indices: jax.Array,
+    *,
+    spatial_shape: Tuple[int, ...],
+    batch_size: int,
+    ksize: Tuple[int, ...],
+    stride: Tuple[int, ...],
+    padding: Tuple[int, ...],
+    dilation: Tuple[int, ...],
+    out_padding: Tuple[int, ...] = None,
+    transposed: bool = False,
+    out_bound: Optional[int] = None,
+) -> IndiceData:
+    """Regular / transposed sparse conv rulebook.
+
+    Replaces the reference's stage1 (candidate emission, atomics) +
+    ``torch.unique`` (host sync) + stage2 (hash build/probe) pipeline
+    (``ops.py:240-330``) with one sort + segmented dedup; output-position
+    assignment falls out of the sort for free, so no lookup pass is needed.
+
+    ``out_bound`` is the static output-site budget (reference:
+    ``num_out_act_bound``); defaults to ``N_in`` which is the right size
+    for strided downsampling layers.  Overflowing sites are dropped
+    deterministically (smallest linearized coords kept).
+    """
+    ksize = tuple(int(k) for k in ksize)
+    n = indices.shape[0]
+    ndim = indices.shape[1] - 1
+    kv = int(np.prod(ksize))
+    if out_padding is None:
+        out_padding = (0,) * ndim
+    if transposed:
+        out_shape = C.get_deconv_output_size(
+            spatial_shape, ksize, stride, padding, dilation, out_padding
+        )
+    else:
+        out_shape = C.get_conv_output_size(
+            spatial_shape, ksize, stride, padding, dilation
+        )
+    if any(x <= 0 for x in out_shape):
+        raise ValueError(
+            f"output spatial shape {out_shape} reached zero; input {spatial_shape}"
+        )
+    if out_bound is None:
+        out_bound = n
+
+    out_coords, valid = C.out_coords_all_offsets(
+        indices, ksize, stride, padding, dilation, out_shape, batch_size, transposed
+    )  # [kv, N, ndim+1], [kv, N]
+    cand_keys, sentinel = C.linearize(
+        out_coords.reshape(kv * n, ndim + 1), out_shape, batch_size,
+        valid.reshape(kv * n),
+    )
+
+    order = jnp.argsort(cand_keys)
+    sk = cand_keys[order]
+    not_sent = sk != sentinel
+    is_first = jnp.concatenate([not_sent[:1], (sk[1:] != sk[:-1]) & not_sent[1:]])
+    uniq_pos = jnp.cumsum(is_first.astype(jnp.int32)) - 1  # pos of each cand's key
+    num_out_total = jnp.sum(is_first.astype(jnp.int32))
+
+    # out position per flat candidate (scatter back through the sort)
+    out_pos_flat = jnp.zeros((kv * n,), dtype=jnp.int32).at[order].set(uniq_pos)
+    out_pos = out_pos_flat.reshape(kv, n)
+    pair_valid = valid & (out_pos < out_bound)
+    pair_bwd = jnp.where(pair_valid, out_pos, -1)
+
+    # pair_fwd via conflict-free scatter: pair_fwd[k, out_pos] = i
+    iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :], (kv, n))
+    scatter_pos = jnp.where(pair_valid, out_pos, out_bound)
+    pair_fwd = jnp.full((kv, out_bound), -1, dtype=jnp.int32)
+    pair_fwd = pair_fwd.at[
+        jnp.broadcast_to(jnp.arange(kv, dtype=jnp.int32)[:, None], (kv, n)),
+        scatter_pos,
+    ].set(jnp.where(pair_valid, iota, -1), mode="drop")
+
+    # unique output keys → coordinates (buffer is sorted ascending)
+    uniq_scatter = jnp.where(is_first & (uniq_pos < out_bound), uniq_pos, out_bound)
+    out_keys = jnp.full((out_bound,), sentinel, dtype=sk.dtype)
+    out_keys = out_keys.at[uniq_scatter].set(sk, mode="drop")
+    out_valid = out_keys != sentinel
+    out_indices = C.delinearize(out_keys, out_shape, out_valid)
+
+    num_out = jnp.minimum(num_out_total, out_bound)
+    return IndiceData(
+        pair_fwd=pair_fwd,
+        pair_bwd=pair_bwd,
+        out_indices=out_indices,
+        indices=indices,
+        num_out=num_out,
+        is_subm=False,
+        spatial_shape=tuple(spatial_shape),
+        out_spatial_shape=tuple(int(s) for s in out_shape),
+        ksize=ksize,
+        stride=tuple(int(s) for s in stride),
+        padding=tuple(int(p) for p in padding),
+        dilation=tuple(int(d) for d in dilation),
+        transposed=transposed,
+    )
+
+
+def get_indice_pairs(
+    indices: jax.Array,
+    batch_size: int,
+    spatial_shape: Sequence[int],
+    ksize: Sequence[int],
+    stride: Sequence[int],
+    padding: Sequence[int],
+    dilation: Sequence[int],
+    out_padding: Sequence[int] = None,
+    subm: bool = False,
+    transpose: bool = False,
+    out_bound: Optional[int] = None,
+) -> IndiceData:
+    """Unified entry point (parity: ``spconv/pytorch/ops.py:get_indice_pairs``
+    + ``get_indice_pairs_implicit_gemm`` — one rulebook serves both compute
+    algorithms here)."""
+    ndim = indices.shape[1] - 1
+    spatial_shape = tuple(int(s) for s in spatial_shape)
+    if subm:
+        return build_subm_rulebook(
+            indices,
+            spatial_shape=spatial_shape,
+            batch_size=batch_size,
+            ksize=tuple(ksize),
+            dilation=tuple(dilation),
+        )
+    return build_conv_rulebook(
+        indices,
+        spatial_shape=spatial_shape,
+        batch_size=batch_size,
+        ksize=tuple(ksize),
+        stride=tuple(stride),
+        padding=tuple(padding),
+        dilation=tuple(dilation),
+        out_padding=tuple(out_padding) if out_padding is not None else (0,) * ndim,
+        transposed=transpose,
+        out_bound=out_bound,
+    )
