@@ -12,6 +12,9 @@ __version__ = "0.1.0"
 from .core import SparseConvTensor, expand_nd, scatter_nd
 from .module import Module, partition, combine, filter_grad, filter_value_and_grad
 from . import ops
+from . import functional
+from .functional import sparse_add
+from .modules import *  # noqa: F401,F403 — public layer API (mirrors spconv.pytorch)
 
 __all__ = [
     "SparseConvTensor",
@@ -23,4 +26,6 @@ __all__ = [
     "filter_grad",
     "filter_value_and_grad",
     "ops",
+    "functional",
+    "sparse_add",
 ]

@@ -1,0 +1,173 @@
+"""Sparse pooling modules (parity: ``spconv/pytorch/pool.py`` —
+SparseMaxPool{1-4}d, SparseAvgPool{1-3}d, SparseGlobalMaxPool,
+SparseGlobalAvgPool)."""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import SparseConvTensor, expand_nd
+from ..module import Module
+from ..ops.pool import global_pool, indice_avgpool, indice_maxpool
+from ..ops.rulebook import build_conv_rulebook, build_subm_rulebook
+
+__all__ = [
+    "SparseMaxPool", "SparseAvgPool",
+    "SparseMaxPool1d", "SparseMaxPool2d", "SparseMaxPool3d", "SparseMaxPool4d",
+    "SparseAvgPool1d", "SparseAvgPool2d", "SparseAvgPool3d",
+    "SparseGlobalMaxPool", "SparseGlobalAvgPool",
+]
+
+
+class _SparsePoolBase(Module):
+    _mode = "max"
+
+    def __init__(
+        self,
+        ndim: int,
+        kernel_size: Union[int, Sequence[int]] = 3,
+        stride: Optional[Union[int, Sequence[int]]] = 1,
+        padding: Union[int, Sequence[int]] = 0,
+        dilation: Union[int, Sequence[int]] = 1,
+        indice_key: Optional[str] = None,
+        subm: bool = False,
+        algo: Optional[str] = None,
+        out_bound: Optional[int] = None,
+        out_bound_ratio: float = 1.0,
+        name: Optional[str] = None,
+    ):
+        self.ndim = ndim
+        self.kernel_size = expand_nd(ndim, kernel_size)
+        if stride is None:
+            self.stride = self.kernel_size  # torch MaxPool default
+        else:
+            self.stride = expand_nd(ndim, stride)
+        self.padding = expand_nd(ndim, padding)
+        self.dilation = expand_nd(ndim, dilation)
+        self.indice_key = indice_key
+        self.subm = subm
+        self.algo = algo or "native"
+        self.out_bound = out_bound
+        self.out_bound_ratio = out_bound_ratio
+        self.name = name
+
+    def _resolve_out_bound(self, n_in: int) -> int:
+        if self.out_bound is not None:
+            return self.out_bound
+        ratio = self.out_bound_ratio
+        if all(s == 1 for s in self.stride):
+            ratio = max(ratio, 2.0)
+        b = int(n_in * ratio)
+        return max(128, -(-b // 128) * 128)
+
+    def __call__(self, input: SparseConvTensor) -> SparseConvTensor:
+        assert isinstance(input, SparseConvTensor)
+        if self.subm:
+            data = input.find_indice_pair(self.indice_key)
+            if data is None or not data.is_subm:
+                data = build_subm_rulebook(
+                    input.indices,
+                    spatial_shape=input.spatial_shape,
+                    batch_size=input.batch_size,
+                    ksize=self.kernel_size,
+                    dilation=self.dilation,
+                )
+            out_indices = input.indices
+            out_spatial = input.spatial_shape
+            num_out = input.num_voxels
+        else:
+            data = input.find_indice_pair(self.indice_key)
+            if data is None or data.is_subm:
+                data = build_conv_rulebook(
+                    input.indices,
+                    spatial_shape=input.spatial_shape,
+                    batch_size=input.batch_size,
+                    ksize=self.kernel_size,
+                    stride=self.stride,
+                    padding=self.padding,
+                    dilation=self.dilation,
+                    out_bound=self._resolve_out_bound(input.indices.shape[0]),
+                )
+            out_indices = data.out_indices
+            out_spatial = data.out_spatial_shape
+            num_out = data.num_out
+
+        if self._mode == "max":
+            out_feat = indice_maxpool(input.features, data.pair_fwd)
+        else:
+            out_feat = indice_avgpool(input.features, data.pair_fwd)
+
+        out = SparseConvTensor(
+            out_feat,
+            out_indices,
+            out_spatial,
+            input.batch_size,
+            num_voxels=num_out,
+            indice_dict=dict(input.indice_dict),
+            benchmark=input.benchmark,
+        )
+        if self.indice_key is not None and self.indice_key not in out.indice_dict:
+            out.indice_dict[self.indice_key] = data
+        return out
+
+
+class SparseMaxPool(_SparsePoolBase):
+    _mode = "max"
+
+
+class SparseAvgPool(_SparsePoolBase):
+    _mode = "mean"
+
+
+def _pool_variant(n, mode):
+    base = SparseMaxPool if mode == "max" else SparseAvgPool
+
+    class _Pool(base):
+        def __init__(self, kernel_size=3, stride=1, padding=0, dilation=1,
+                     indice_key=None, subm=False, algo=None, out_bound=None,
+                     out_bound_ratio=1.0, name=None):
+            base.__init__(self, n, kernel_size, stride, padding, dilation,
+                          indice_key, subm, algo, out_bound, out_bound_ratio,
+                          name)
+
+    return _Pool
+
+
+SparseMaxPool1d = _pool_variant(1, "max")
+SparseMaxPool2d = _pool_variant(2, "max")
+SparseMaxPool3d = _pool_variant(3, "max")
+SparseMaxPool4d = _pool_variant(4, "max")
+SparseAvgPool1d = _pool_variant(1, "mean")
+SparseAvgPool2d = _pool_variant(2, "mean")
+SparseAvgPool3d = _pool_variant(3, "mean")
+for _cls, _nm in [
+    (SparseMaxPool1d, "SparseMaxPool1d"), (SparseMaxPool2d, "SparseMaxPool2d"),
+    (SparseMaxPool3d, "SparseMaxPool3d"), (SparseMaxPool4d, "SparseMaxPool4d"),
+    (SparseAvgPool1d, "SparseAvgPool1d"), (SparseAvgPool2d, "SparseAvgPool2d"),
+    (SparseAvgPool3d, "SparseAvgPool3d"),
+]:
+    _cls.__name__ = _nm
+    _cls.__qualname__ = _nm
+
+
+class SparseGlobalMaxPool(Module):
+    """Global max pool → dense ``[B, C]`` (parity: ``pool.py:284``)."""
+
+    def __init__(self, name: Optional[str] = None):
+        self.name = name
+
+    def __call__(self, input: SparseConvTensor):
+        return global_pool(input.features, input.indices, input.batch_size, "max")
+
+
+class SparseGlobalAvgPool(Module):
+    """Global average pool → dense ``[B, C]`` (parity: ``pool.py:280``)."""
+
+    def __init__(self, name: Optional[str] = None):
+        self.name = name
+
+    def __call__(self, input: SparseConvTensor):
+        return global_pool(input.features, input.indices, input.batch_size, "mean")
