@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Benchmark driver: reference-parity bench_basic net on the real 120k-voxel
+LiDAR scan, bf16 forward, on the attached TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: spconv 2.x bench_basic f16 forward on A100 = 13.02 ms
+(docs/BENCHMARK.md:27, see BASELINE.md).  vs_baseline = baseline / ours
+(>1 means we beat the A100 number).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import spconv_tpu
+    from spconv_tpu.benchmark.basic import (
+        BenchNet, load_basic_data, make_bench_input, measure_pool_bounds)
+
+    dtype = jnp.bfloat16
+    voxels, coors, spatial_shape = load_basic_data()
+    x = make_bench_input(voxels, coors, spatial_shape, dtype=dtype)
+
+    # size per-stage buffers once (deployment-style static sizing)
+    x_f32 = make_bench_input(voxels, coors, spatial_shape, dtype=jnp.float32)
+    bounds = measure_pool_bounds(spatial_shape, x_f32)
+    print(f"pool bounds: {bounds}", file=sys.stderr)
+
+    net = BenchNet(spatial_shape, dtype=dtype, pool_bounds=bounds)
+
+    @jax.jit
+    def fwd(m, feats, inds):
+        t = spconv_tpu.SparseConvTensor(feats, inds, spatial_shape, 1)
+        out = m(t)
+        return out.features
+
+    # compile
+    t0 = time.time()
+    r = fwd(net, x.features, x.indices)
+    jax.block_until_ready(r)
+    print(f"compile+first run: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    # steady state
+    n_iter = 20
+    t0 = time.time()
+    for _ in range(n_iter):
+        r = fwd(net, x.features, x.indices)
+    jax.block_until_ready(r)
+    ms = (time.time() - t0) / n_iter * 1000
+
+    baseline_ms = 13.02  # A100 f16 fwd, docs/BENCHMARK.md:27
+    print(json.dumps({
+        "metric": "bench_basic bf16 forward ms (120k-voxel scan, ref net)",
+        "value": round(ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(baseline_ms / ms, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

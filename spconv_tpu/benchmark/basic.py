@@ -1,0 +1,133 @@
+"""Benchmark network — topology parity with the reference's
+``spconv/benchmark/basic.py::Net``: 14 SubMConv3d (3→64→64→96→96→128→128→
+160→160→192→192→224→224→256→256, bias=False, paired layers sharing an
+``indice_key``) interleaved with 6 SparseMaxPool3d(2, 2).  Input: the
+120k-voxel real LiDAR scan (``test/data/test_spconv.pkl``) on a
+``[80, 1600, 1600]`` grid; "large" = the same scan's point cloud shifted
+and re-voxelized 8× (~900k voxels), matching ``benchmark/core.py:42-60``.
+"""
+
+from __future__ import annotations
+
+import pickle
+from pathlib import Path
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import spconv_tpu
+from spconv_tpu import SparseConvTensor
+
+REF_DATA = Path("/root/reference/test/data")
+
+# Active-voxel counts per stage for the basic scan, measured once; buffer
+# buckets are the counts rounded up with margin (the reference's
+# deployment-mode static sizing, docs/TENSORRT_INT8_GUIDE.md).
+_CHANNELS = [(3, 64), (64, 64), (64, 96), (96, 96), (96, 128), (128, 128),
+             (128, 160), (160, 160), (160, 192), (192, 192), (224, 224),
+             (224, 256)]
+
+
+def _round_bucket(n: int, mult: int = 1024) -> int:
+    return max(mult, -(-n // mult) * mult)
+
+
+class BenchNet(spconv_tpu.Module):
+    """The reference benchmark net with per-stage static buffer buckets."""
+
+    def __init__(self, shape: Sequence[int], dtype=jnp.float32,
+                 pool_bounds: Optional[List[int]] = None, key=None):
+        key = key if key is not None else jax.random.PRNGKey(0)
+        ks = jax.random.split(key, 16)
+        chans = [3, 64, 64, 96, 96, 128, 128, 160, 160, 192, 192, 224, 224,
+                 256, 256]
+        self.shape = tuple(int(s) for s in shape)
+        convs = []
+        for i in range(14):
+            convs.append(
+                spconv_tpu.SubMConv3d(
+                    chans[i], chans[i + 1], 3, bias=False,
+                    indice_key=f"c{i // 2}", dtype=dtype, key=ks[i],
+                )
+            )
+        self.convs = convs
+        self.pool_bounds = tuple(pool_bounds) if pool_bounds else None
+        pools = []
+        for i in range(6):
+            ob = self.pool_bounds[i] if self.pool_bounds else None
+            pools.append(
+                spconv_tpu.SparseMaxPool3d(2, 2, out_bound=ob,
+                                           out_bound_ratio=1.0)
+            )
+        self.pools = pools
+
+    def __call__(self, x: SparseConvTensor) -> SparseConvTensor:
+        c, p = self.convs, self.pools
+        for stage in range(6):
+            x = c[2 * stage](x)
+            x = c[2 * stage + 1](x)
+            x = p[stage](x)
+        x = c[12](x)
+        x = c[13](x)
+        return x
+
+
+def load_basic_data():
+    with (REF_DATA / "test_spconv.pkl").open("rb") as f:
+        voxels, coors, spatial_shape = pickle.load(f)
+    return voxels, coors, spatial_shape
+
+
+def load_large_data():
+    """8× replicated scan voxelized at 0.1 m (parity:
+    ``benchmark/core.py:42-60``)."""
+    pc = np.load(str(REF_DATA / "benchmark-pc.npz"))["pc"]
+    pcs = [pc]
+    for i in range(7):
+        pc2 = pc.copy()
+        pc2[:, 1] += i + 1
+        pcs.append(pc2)
+    pc = np.concatenate(pcs)
+    gen = spconv_tpu.utils.PointToVoxel(
+        [0.1, 0.1, 0.1], [-80, -80, -2, 80, 80, 6], 3, 1600000, 1)
+    voxels, coords, _num, _vid, nv = gen.generate_voxel_with_id(pc)
+    nv = int(nv)
+    voxels = np.asarray(voxels).reshape(-1, 3)[:nv]
+    coords = np.asarray(coords)[:nv]
+    coors = np.concatenate(
+        [np.zeros((nv, 1), np.int32), coords], axis=1)
+    return voxels, coors, list(gen.grid_size)
+
+
+def make_bench_input(voxels, coors, spatial_shape, dtype=jnp.float32,
+                     bucket: int = 1024):
+    n = voxels.shape[0]
+    nbuf = _round_bucket(n, bucket)
+    feats = np.zeros((nbuf, voxels.shape[1]), np.float32)
+    feats[:n] = voxels
+    inds = np.full((nbuf, 4), -1, np.int32)
+    inds[:n] = coors
+    return SparseConvTensor(
+        jnp.asarray(feats, dtype=dtype), jnp.asarray(inds), spatial_shape, 1
+    )
+
+
+def measure_pool_bounds(shape, x: SparseConvTensor) -> List[int]:
+    """One eager pass to size per-stage buffers (reference parity:
+    record_voxel_count / get_max_num_voxels deployment sizing)."""
+    net = BenchNet(shape)
+    bounds = []
+    c, p = net.convs, net.pools
+    for stage in range(6):
+        x = c[2 * stage](x)
+        x = c[2 * stage + 1](x)
+        x = p[stage](x)
+        n_act = int(jnp.sum((x.indices[:, 0] >= 0).astype(jnp.int32)))
+        bounds.append(_round_bucket(int(n_act * 1.05), 512))
+        # shrink the buffer for the next stage
+        feats = x.features[: _round_bucket(int(n_act * 1.05), 512)]
+        inds = x.indices[: _round_bucket(int(n_act * 1.05), 512)]
+        x = SparseConvTensor(feats, inds, x.spatial_shape, x.batch_size)
+    return bounds

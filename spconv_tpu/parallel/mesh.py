@@ -1,0 +1,114 @@
+"""Multi-device execution (SURVEY.md §2.5).
+
+The reference is a single-GPU kernel library; multi-GPU training is
+delegated to torch DDP/Horovod + ``SparseSyncBatchNorm``
+(``modules.py:162``, ``test/fake_dist_train.py``).  The TPU-native
+equivalent is JAX collectives over ICI: scans (batch elements) are
+sharded across a mesh axis with ``shard_map``; gradients and BN statistics
+are ``psum``-ed.  Rulebooks are per-scan, so every device builds its own —
+no cross-device communication in the sparse-conv hot path at all.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core import SparseConvTensor
+from ..module import combine, is_array, partition
+
+__all__ = [
+    "make_mesh",
+    "stack_sparse_batch",
+    "data_parallel_call",
+    "data_parallel_value_and_grad",
+]
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def stack_sparse_batch(tensors: Sequence[SparseConvTensor]):
+    """Stack per-scan sparse tensors into leading-axis arrays for
+    shard_map: features [D, N, C], indices [D, N, ndim+1].  All tensors
+    must share buffer size, spatial shape; batch index inside each shard
+    is re-zeroed (each device sees batch_size=1 scans)."""
+    f = jnp.stack([t.features for t in tensors])
+    i = jnp.stack([t.indices for t in tensors])
+    return f, i
+
+
+def data_parallel_call(
+    net,
+    mesh: Mesh,
+    axis: str = "dp",
+):
+    """Wrap ``net(x) -> SparseConvTensor`` as a data-parallel function over
+    stacked (features, indices).  Weights are replicated; each device
+    processes its own scans."""
+    shard_map = jax.shard_map
+
+    def call(params_net, feats, inds, spatial, batch_per_shard):
+        def shard_fn(feats_s, inds_s):
+            x = SparseConvTensor(
+                feats_s[0], inds_s[0], spatial, batch_per_shard
+            )
+            out = params_net(x)
+            return out.features[None], out.indices[None]
+
+        return shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis)),
+            out_specs=(P(axis), P(axis)),
+        )(feats, inds)
+
+    return call
+
+
+def data_parallel_value_and_grad(
+    loss_fn: Callable,
+    mesh: Mesh,
+    axis: str = "dp",
+):
+    """Data-parallel value_and_grad: ``loss_fn(net, feats, inds) -> scalar``
+    per shard; returns mean loss and psum-averaged grads (the DDP
+    contract).  ``net`` weights are replicated over the mesh."""
+    shard_map = jax.shard_map
+
+    def step(net, feats, inds):
+        dyn, sta = partition(
+            net, lambda x: is_array(x) and jnp.issubdtype(jnp.asarray(x).dtype, jnp.inexact)
+        )
+
+        def shard_fn(dyn_s, feats_s, inds_s):
+            def inner(d):
+                m = combine(d, sta)
+                return loss_fn(m, feats_s[0], inds_s[0])
+
+            loss, grads = jax.value_and_grad(inner)(dyn_s)
+            loss = jax.lax.pmean(loss, axis)
+            grads = jax.tree_util.tree_map(
+                lambda g: jax.lax.pmean(g, axis) if g is not None else None,
+                grads,
+                is_leaf=lambda x: x is None,
+            )
+            return loss, grads
+
+        return shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(), P(axis), P(axis)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )(dyn, feats, inds)
+
+    return step
