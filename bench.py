@@ -34,25 +34,45 @@ def main():
 
     net = BenchNet(spatial_shape, dtype=dtype, pool_bounds=bounds)
 
-    @jax.jit
-    def fwd(m, feats, inds):
-        t = spconv_tpu.SparseConvTensor(feats, inds, spatial_shape, 1)
-        out = m(t)
-        return out.features
+    # Device-time measurement: REP chained iterations inside ONE jitted
+    # program (per-dispatch tunnel overhead on this platform is ~30 ms and
+    # block_until_ready is unreliable, so external loops mis-measure; an
+    # input data dependency per iteration prevents loop-invariant hoisting).
+    REP = 10
 
-    # compile
+    @jax.jit
+    def fwd_rep(m, feats, inds):
+        def body(i, c):
+            f = feats * (1.0 + 0.0 * c).astype(feats.dtype)
+            t = spconv_tpu.SparseConvTensor(f, inds, spatial_shape, 1)
+            out = m(t)
+            return jnp.sum(out.features.astype(jnp.float32))
+
+        return jax.lax.fori_loop(0, REP, body, jnp.float32(0))
+
+    @jax.jit
+    def fwd_once(m, feats, inds):
+        t = spconv_tpu.SparseConvTensor(feats, inds, spatial_shape, 1)
+        return jnp.sum(m(t).features.astype(jnp.float32))
+
+    # sync floor
+    tiny = jax.jit(lambda s: s + 1.0)
+    float(tiny(0.0))
     t0 = time.time()
-    r = fwd(net, x.features, x.indices)
-    jax.block_until_ready(r)
+    for _ in range(5):
+        float(tiny(0.0))
+    floor_ms = (time.time() - t0) / 5 * 1000
+
+    t0 = time.time()
+    float(fwd_rep(net, x.features, x.indices))
     print(f"compile+first run: {time.time() - t0:.1f}s", file=sys.stderr)
 
-    # steady state
-    n_iter = 20
+    n_outer = 3
     t0 = time.time()
-    for _ in range(n_iter):
-        r = fwd(net, x.features, x.indices)
-    jax.block_until_ready(r)
-    ms = (time.time() - t0) / n_iter * 1000
+    for _ in range(n_outer):
+        float(fwd_rep(net, x.features, x.indices))
+    total_ms = (time.time() - t0) / n_outer * 1000
+    ms = (total_ms - floor_ms) / REP
 
     baseline_ms = 13.02  # A100 f16 fwd, docs/BENCHMARK.md:27
     print(json.dumps({

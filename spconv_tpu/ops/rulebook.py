@@ -38,17 +38,42 @@ __all__ = [
 ]
 
 
-def _sorted_lookup(sorted_keys: jax.Array, sorted_vals: jax.Array, queries: jax.Array):
-    """Query a sorted key table: returns values (or −1) for each query.
+def _join_lookup(table_keys: jax.Array, queries: jax.Array, sentinel) -> jax.Array:
+    """Batch table lookup by sort-join: for each query key, the row index in
+    ``table_keys`` holding an equal key, or −1.
 
     TPU-native replacement for the reference's GPU hash probe
-    (``csrc/hash/core.py`` LinearHashTableSplit.lookup).
+    (``csrc/hash/core.py`` LinearHashTableSplit.lookup).  A binary-search
+    (``jnp.searchsorted``) formulation is ~30× slower on TPU (measured:
+    16 ms per 127k-query probe vs ~1 ms for one 1.8M-element sort), so all
+    queries are answered in ONE argsort + segmented forward-fill:
+
+    * stable-sort [table ‖ queries]; within an equal-key group the (unique)
+      table entry sorts first,
+    * forward-fill each sorted position with its group-start position via
+      ``cummax`` over boundary-marked positions (monotone → no reset op),
+    * a query matches iff its group's first element is a table row.
+
+    ``table_keys`` must hold unique keys except the sentinel; sentinel
+    queries never match (guarded explicitly).
     """
-    pos = jnp.searchsorted(sorted_keys, queries)
-    pos = jnp.minimum(pos, sorted_keys.shape[0] - 1)
-    found = sorted_keys[pos] == queries
-    vals = sorted_vals[pos]
-    return jnp.where(found, vals, -1)
+    t = table_keys.shape[0]
+    q = queries.shape[0]
+    allk = jnp.concatenate([table_keys, queries])
+    order = jnp.argsort(allk, stable=True)
+    sk = allk[order]
+    pos = jnp.arange(t + q, dtype=jnp.int32)
+    boundary = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
+    group_start = jax.lax.cummax(jnp.where(boundary, pos, 0))
+    first_elem = order[group_start]
+    is_table_first = first_elem < t
+    matched = jnp.where(is_table_first, first_elem, -1)
+    matched = jnp.where(sk != sentinel, matched, -1)
+    # scatter back to query order (table positions dropped)
+    res = jnp.full((q,), -1, jnp.int32)
+    qpos = jnp.where(order >= t, order - t, q)
+    res = res.at[qpos].set(matched.astype(jnp.int32), mode="drop")
+    return res
 
 
 @partial(jax.jit, static_argnames=("spatial_shape", "batch_size", "ksize", "dilation"))
@@ -75,10 +100,7 @@ def build_subm_rulebook(
     center = kv // 2
 
     valid = indices[:, 0] >= 0
-    keys, _sent = C.linearize(indices, spatial_shape, batch_size, valid)
-    order = jnp.argsort(keys)
-    sorted_keys = keys[order]
-    sorted_vals = order.astype(jnp.int32)
+    keys, sent = C.linearize(indices, spatial_shape, batch_size, valid)
 
     iota = jnp.arange(n, dtype=jnp.int32)
     identity = jnp.where(valid, iota, -1)
@@ -86,29 +108,36 @@ def build_subm_rulebook(
     offs = C.kernel_offsets(ksize)  # [kv, ndim] numpy
     centers = np.array([k // 2 for k in ksize])
     disp = (offs - centers) * np.array(dilation)  # displacement per offset
-
-    pair_rows = [None] * kv
-    pair_rows[center] = identity
     shape_arr = jnp.asarray([int(s) for s in spatial_shape], dtype=jnp.int32)
 
-    for k in range(center):
-        d = jnp.asarray(disp[k], dtype=jnp.int32)
-        ncoord = indices[:, 1:] + d  # site at coord(o)+d feeds o via offset k
-        in_bounds = jnp.all((ncoord >= 0) & (ncoord < shape_arr), axis=-1) & valid
-        nfull = jnp.concatenate([indices[:, :1], ncoord], axis=-1)
-        nkeys, _ = C.linearize(nfull, spatial_shape, batch_size, in_bounds)
-        src = _sorted_lookup(sorted_keys, sorted_vals, nkeys)
-        src = jnp.where(in_bounds, src, -1)
-        pair_rows[k] = src
-        # mirror: if a feeds o via k then o feeds a via kv-1-k  ⇒
-        # pair_fwd[kv-1-k][a] = o, scatter through src (conflict-free).
-        mirror = jnp.full((n,), -1, dtype=jnp.int32)
-        mirror = mirror.at[jnp.where(src >= 0, src, n)].set(
-            jnp.where(src >= 0, iota, -1), mode="drop"
-        )
-        pair_rows[kv - 1 - k] = mirror
+    # batch ALL half-kernel neighbor queries into one sort-join
+    d = jnp.asarray(disp[:center], dtype=jnp.int32)  # [center, ndim]
+    ncoord = indices[None, :, 1:] + d[:, None, :]  # [center, N, ndim]
+    in_bounds = (
+        jnp.all((ncoord >= 0) & (ncoord < shape_arr), axis=-1) & valid[None, :]
+    )  # [center, N]
+    bcol = jnp.broadcast_to(indices[None, :, :1], (center, n, 1))
+    nfull = jnp.concatenate([bcol, ncoord], axis=-1).reshape(center * n, ndim + 1)
+    nkeys, _ = C.linearize(
+        nfull, spatial_shape, batch_size, in_bounds.reshape(-1)
+    )
+    src_all = _join_lookup(keys, nkeys, sent).reshape(center, n)
+    src_all = jnp.where(in_bounds, src_all, -1)
 
-    pair_fwd = jnp.stack(pair_rows, axis=0)
+    # mirror: if a feeds o via k then o feeds a via kv-1-k  ⇒
+    # pair_fwd[kv-1-k][a] = o; one batched conflict-free scatter.
+    iota_b = jnp.broadcast_to(iota[None, :], (center, n))
+    k_idx = jnp.broadcast_to(
+        jnp.arange(center, dtype=jnp.int32)[:, None], (center, n)
+    )
+    mirror_all = jnp.full((center, n), -1, dtype=jnp.int32)
+    mirror_all = mirror_all.at[
+        k_idx, jnp.where(src_all >= 0, src_all, n)
+    ].set(jnp.where(src_all >= 0, iota_b, -1), mode="drop")
+
+    pair_fwd = jnp.concatenate(
+        [src_all, identity[None, :], mirror_all[::-1]], axis=0
+    )
     # subm: input i feeds output at coord(i) - d_k = coord(i) + d_{kv-1-k}
     pair_bwd = pair_fwd[::-1]
     num = jnp.sum(valid.astype(jnp.int32))
