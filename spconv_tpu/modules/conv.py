@@ -25,6 +25,7 @@ import numpy as np
 from ..core import SparseConvTensor, IndiceData, expand_nd
 from ..module import Module
 from ..ops import coords as C
+from ..ops.epilogue import bias_add_act
 from ..ops.gather_gemm import indice_conv
 from ..ops.rulebook import build_conv_rulebook, build_subm_rulebook
 
@@ -71,6 +72,9 @@ class SparseConvolution(Module):
         fp32_accum: Optional[bool] = None,
         out_bound: Optional[int] = None,
         out_bound_ratio: float = 2.0,
+        act_type: str = "none",
+        act_alpha: float = 0.0,
+        act_beta: float = 0.0,
         dtype=jnp.float32,
         key=None,
         name: Optional[str] = None,
@@ -100,6 +104,9 @@ class SparseConvolution(Module):
         self.fp32_accum = True if fp32_accum is None else fp32_accum
         self.out_bound = out_bound
         self.out_bound_ratio = out_bound_ratio
+        self.act_type = act_type
+        self.act_alpha = act_alpha
+        self.act_beta = act_beta
         self.name = name
         if subm:
             assert all(k % 2 == 1 for k in self.kernel_size), \
@@ -136,7 +143,11 @@ class SparseConvolution(Module):
         b = int(n_in * ratio)
         return max(128, -(-b // 128) * 128)  # pad to lane multiple
 
-    def __call__(self, input: SparseConvTensor) -> SparseConvTensor:
+    def __call__(
+        self,
+        input: SparseConvTensor,
+        add_input: Optional[SparseConvTensor] = None,
+    ) -> SparseConvTensor:
         assert isinstance(input, SparseConvTensor)
         features = input.features
         indices = input.indices
@@ -150,8 +161,11 @@ class SparseConvolution(Module):
                 features, w.T,
                 preferred_element_type=jnp.float32 if self.fp32_accum else None,
             ).astype(features.dtype)
-            if self.bias is not None:
-                out_feat = out_feat + self.bias
+            out_feat = bias_add_act(
+                out_feat, self.bias, self.act_type, self.act_alpha,
+                self.act_beta,
+                add_input.features if add_input is not None else None,
+            )
             out_feat = jnp.where(input.valid_mask[:, None], out_feat, 0)
             out = input.shadow_copy()
             out.features = out_feat
@@ -227,8 +241,10 @@ class SparseConvolution(Module):
             fp32_accum=self.fp32_accum,
         )
         out_valid = out_indices[:, 0] >= 0
-        if self.bias is not None:
-            out_feat = out_feat + self.bias
+        out_feat = bias_add_act(
+            out_feat, self.bias, self.act_type, self.act_alpha, self.act_beta,
+            add_input.features if add_input is not None else None,
+        )
         out_feat = jnp.where(out_valid[:, None], out_feat, 0)
 
         out = SparseConvTensor(
@@ -263,8 +279,8 @@ def _make_variant(n, *, subm=False, transposed=False, inverse=False):
         self, in_channels, out_channels, kernel_size=3,
         stride=1, padding=0, dilation=1, groups=1, bias=True,
         indice_key=None, algo=None, fp32_accum=None, output_padding=0,
-        out_bound=None, out_bound_ratio=2.0, dtype=jnp.float32, key=None,
-        name=None,
+        out_bound=None, out_bound_ratio=2.0, act_type="none", act_alpha=0.0,
+        act_beta=0.0, dtype=jnp.float32, key=None, name=None,
     ):
         if inverse:
             assert indice_key is not None, "inverse conv requires indice_key"
@@ -274,7 +290,9 @@ def _make_variant(n, *, subm=False, transposed=False, inverse=False):
             bias=bias, subm=subm, output_padding=output_padding,
             transposed=transposed, inverse=inverse, indice_key=indice_key,
             algo=algo, fp32_accum=fp32_accum, out_bound=out_bound,
-            out_bound_ratio=out_bound_ratio, dtype=dtype, key=key, name=name,
+            out_bound_ratio=out_bound_ratio, act_type=act_type,
+            act_alpha=act_alpha, act_beta=act_beta, dtype=dtype, key=key,
+            name=name,
         )
 
     return __init__

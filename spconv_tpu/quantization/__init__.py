@@ -1,0 +1,12 @@
+from .quantize import (
+    QuantizedSparseConv,
+    SparseConvAddReLU,
+    MinMaxObserver,
+    PerChannelMinMaxObserver,
+    quantize_weight_per_channel,
+    quantize_tensor,
+    dequantize,
+    calibrate,
+    convert_to_int8,
+)
+from .fuse import fuse_bn_weights, fuse_conv_bn, fuse_bn_act_in_sequential

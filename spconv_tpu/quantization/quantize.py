@@ -1,0 +1,241 @@
+"""Int8 PTQ stack (parity: ``spconv/pytorch/quantization/`` — observers,
+per-channel weight quant, quantized inference conv with fused
+scale/bias/act/residual — re-architected without torch.ao/fx: calibration
+and conversion are structural walks over ``SparseSequential`` nets).
+
+Int8 semantics follow ``docs/TENSORRT_INT8_GUIDE.md`` + ``ops.py:1465-1525``:
+weights per-channel int8, activations per-tensor int8, bias float,
+``output_scale`` requantization, optional fused residual add
+(``SparseConvAddReLU``).  The int8 GEMM accumulates in int32 on the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import SparseConvTensor
+from ..module import Module
+from ..modules.conv import SparseConvolution
+from ..modules.modules import BatchNorm1d, SparseReLU, SparseSequential
+from ..ops.gather_gemm import _chunks, _clamp_pairs, _zero_pad
+from .fuse import fuse_conv_bn
+
+__all__ = [
+    "MinMaxObserver",
+    "PerChannelMinMaxObserver",
+    "quantize_weight_per_channel",
+    "quantize_tensor",
+    "dequantize",
+    "QuantizedSparseConv",
+    "SparseConvAddReLU",
+    "calibrate",
+    "convert_to_int8",
+]
+
+
+class MinMaxObserver:
+    """Per-tensor symmetric int8 observer (parity: ``fake_q.py:25-102``
+    sparse-aware observers operating on ``.features``)."""
+
+    def __init__(self):
+        self.amax = 0.0
+
+    def observe(self, x):
+        if isinstance(x, SparseConvTensor):
+            feats, mask = x.features, np.asarray(x.valid_mask)
+            vals = np.asarray(feats, np.float32)[mask]
+        else:
+            vals = np.asarray(x, np.float32)
+        if vals.size:
+            self.amax = max(self.amax, float(np.abs(vals).max()))
+
+    @property
+    def scale(self) -> float:
+        return max(self.amax, 1e-8) / 127.0
+
+
+class PerChannelMinMaxObserver:
+    """Per-output-channel weight observer (KRSC axis 0)."""
+
+    def __init__(self):
+        self.amax = None
+
+    def observe(self, w):
+        w = np.asarray(w, np.float32)
+        a = np.abs(w.reshape(w.shape[0], -1)).max(1)
+        self.amax = a if self.amax is None else np.maximum(self.amax, a)
+
+    @property
+    def scale(self) -> np.ndarray:
+        return np.maximum(self.amax, 1e-8) / 127.0
+
+
+def quantize_tensor(x: jax.Array, scale: float) -> jax.Array:
+    q = jnp.round(x.astype(jnp.float32) / scale)
+    return jnp.clip(q, -127, 127).astype(jnp.int8)
+
+
+def quantize_weight_per_channel(w: jax.Array, scale: jax.Array) -> jax.Array:
+    s = jnp.asarray(scale, jnp.float32).reshape((-1,) + (1,) * (w.ndim - 1))
+    q = jnp.round(w.astype(jnp.float32) / s)
+    return jnp.clip(q, -127, 127).astype(jnp.int8)
+
+
+def dequantize(q: jax.Array, scale) -> jax.Array:
+    return q.astype(jnp.float32) * jnp.asarray(scale, jnp.float32)
+
+
+def _int8_gather_mm(feat_i8, weight_kv_i8, pair_fwd, subm_center):
+    """Σ_k gather(feat)ᵀ... int8 × int8 → int32 accumulation on the MXU."""
+    kv, n_out = pair_fwd.shape
+    n_in = feat_i8.shape[0]
+    c = feat_i8.shape[1]
+    fz = jnp.concatenate(
+        [feat_i8, jnp.zeros((1, c), jnp.int8)], axis=0)
+    pf = _clamp_pairs(pair_fwd, n_in)
+    if subm_center is not None:
+        acc = jnp.dot(feat_i8, weight_kv_i8[subm_center],
+                      preferred_element_type=jnp.int32)
+        ks = [k for k in range(kv) if k != subm_center]
+    else:
+        acc = jnp.zeros((n_out, weight_kv_i8.shape[2]), jnp.int32)
+        ks = list(range(kv))
+    for chunk in _chunks(ks, n_out, c):
+        ka = np.array(chunk)
+        g = jnp.take(fz, pf[ka], axis=0)
+        acc = acc + jnp.einsum("knc,kcd->nd", g, weight_kv_i8[ka],
+                               preferred_element_type=jnp.int32)
+    return acc
+
+
+class QuantizedSparseConv(Module):
+    """Int8 inference conv (parity: ``quantization/quantized/conv.py``
+    SparseConv + the int8 implicit_gemm epilogue).
+
+    Holds int8 KRSC weights, per-channel weight scales, float bias, the
+    input scale it was calibrated for, and the output scale; computes
+    ``act((int8gemm · s_in · s_w) + bias [+ add·s_add]) / s_out`` → int8.
+    """
+
+    def __init__(self, conv: SparseConvolution, weight_scale, input_scale,
+                 output_scale, act_type: str = "none"):
+        self.base = conv.replace(weight=jnp.zeros((1,), jnp.float32),
+                                 bias=None)  # keep config, drop fp weights
+        self.weight_i8 = quantize_weight_per_channel(conv.weight, weight_scale)
+        self.weight_scale = jnp.asarray(weight_scale, jnp.float32)
+        self.bias = (conv.bias.astype(jnp.float32)
+                     if conv.bias is not None else None)
+        self.input_scale = float(input_scale)
+        self.output_scale = float(output_scale)
+        self.act_type = act_type
+        if conv.act_type != "none":
+            self.act_type = conv.act_type
+
+    def __call__(self, x: SparseConvTensor,
+                 add_input: Optional[SparseConvTensor] = None,
+                 add_scale: float = 1.0) -> SparseConvTensor:
+        cfg = self.base
+        assert x.features.dtype == jnp.int8, "input must be quantized int8"
+        kv = int(np.prod(cfg.kernel_size))
+        k_out = self.weight_i8.shape[0]
+        c_in = self.weight_i8.shape[-1]
+        wkv = jnp.transpose(self.weight_i8.reshape(k_out, kv, c_in), (1, 2, 0))
+
+        if cfg.subm:
+            from ..ops.rulebook import build_subm_rulebook
+
+            data = x.find_indice_pair(cfg.indice_key)
+            if data is None:
+                data = build_subm_rulebook(
+                    x.indices, spatial_shape=x.spatial_shape,
+                    batch_size=x.batch_size, ksize=cfg.kernel_size,
+                    dilation=cfg.dilation)
+            pair_fwd = data.pair_fwd
+            out_indices, out_shape = x.indices, x.spatial_shape
+            center = kv // 2
+            num_out = x.num_voxels
+        else:
+            from ..ops.rulebook import build_conv_rulebook
+
+            data = x.find_indice_pair(cfg.indice_key)
+            if data is None or data.is_subm:
+                data = build_conv_rulebook(
+                    x.indices, spatial_shape=x.spatial_shape,
+                    batch_size=x.batch_size, ksize=cfg.kernel_size,
+                    stride=cfg.stride, padding=cfg.padding,
+                    dilation=cfg.dilation, transposed=cfg.transposed,
+                    out_bound=cfg._resolve_out_bound(x.indices.shape[0]))
+            pair_fwd = data.pair_fwd
+            out_indices, out_shape = data.out_indices, data.out_spatial_shape
+            center = None
+            num_out = data.num_out
+
+        acc = _int8_gather_mm(x.features, wkv, pair_fwd, center)
+        scale = self.input_scale * self.weight_scale  # [K]
+        outf = acc.astype(jnp.float32) * scale
+        if self.bias is not None:
+            outf = outf + self.bias
+        if add_input is not None:
+            outf = outf + add_input.features.astype(jnp.float32) * add_scale
+        if self.act_type == "relu":
+            outf = jax.nn.relu(outf)
+        q = jnp.clip(jnp.round(outf / self.output_scale), -127, 127)
+        valid = out_indices[:, 0] >= 0
+        q = jnp.where(valid[:, None], q, 0).astype(jnp.int8)
+        out = SparseConvTensor(
+            q, out_indices, out_shape, x.batch_size, num_voxels=num_out,
+            indice_dict=dict(x.indice_dict))
+        if cfg.indice_key is not None and cfg.indice_key not in out.indice_dict:
+            out.indice_dict[cfg.indice_key] = data
+        return out
+
+
+class SparseConvAddReLU(QuantizedSparseConv):
+    """Residual-fused int8 conv (parity:
+    ``intrinsic/quantized/conv_relu.py`` SparseConvAddReLU)."""
+
+    def __init__(self, conv, weight_scale, input_scale, output_scale):
+        super().__init__(conv, weight_scale, input_scale, output_scale,
+                         act_type="relu")
+
+
+def calibrate(seq: SparseSequential, inputs: List[SparseConvTensor]):
+    """Run calibration data through a sequential net, recording per-layer
+    activation ranges.  Returns (fused_seq, act_observers) where
+    ``fused_seq`` has BN folded (quantization always operates on the
+    fused graph, as in the reference's prepare_fx pipeline)."""
+    from .fuse import fuse_bn_act_in_sequential
+
+    fused = fuse_bn_act_in_sequential(seq)
+    observers = [MinMaxObserver() for _ in range(len(fused.layers) + 1)]
+    for x in inputs:
+        observers[0].observe(x)
+        cur = x
+        for i, layer in enumerate(fused.layers):
+            cur = layer(cur)
+            observers[i + 1].observe(cur)
+    return fused, observers
+
+
+def convert_to_int8(fused: SparseSequential, observers) -> SparseSequential:
+    """Swap fp convs for QuantizedSparseConv using calibration scales."""
+    out = []
+    for i, layer in enumerate(fused.layers):
+        if isinstance(layer, SparseConvolution):
+            wobs = PerChannelMinMaxObserver()
+            wobs.observe(layer.weight)
+            out.append(
+                QuantizedSparseConv(
+                    layer,
+                    wobs.scale,
+                    observers[i].scale,
+                    observers[i + 1].scale,
+                )
+            )
+        else:
+            out.append(layer)
+    return SparseSequential(*out)
