@@ -250,6 +250,24 @@ class SparseConvTensor:
         new.indice_dict = {}
         return new
 
+    def sort_by_key(self) -> "SparseConvTensor":
+        """Reorder rows by linearized coordinate (batch-major z-major).
+
+        Rulebook-generated outputs and ``PointToVoxel`` results are already
+        in this order; applying it to external inputs improves gather
+        locality in the conv compute (pair index maps become monotone).
+        Drops cached rulebooks (row ids change)."""
+        from .ops import coords as C
+
+        keys, _ = C.linearize(self.indices, self.spatial_shape, self.batch_size)
+        order = jnp.argsort(keys)
+        feats = jnp.take(self.features, order, axis=0)
+        inds = jnp.take(self.indices, order, axis=0)
+        return SparseConvTensor(
+            feats, inds, self.spatial_shape, self.batch_size,
+            num_voxels=self.num_voxels, benchmark=self.benchmark,
+        )
+
     def shadow_copy(self) -> "SparseConvTensor":
         new = object.__new__(SparseConvTensor)
         new.features = self.features
