@@ -27,9 +27,20 @@ def main():
     voxels, coors, spatial_shape = load_basic_data()
     x = make_bench_input(voxels, coors, spatial_shape, dtype=dtype)
 
-    # size per-stage buffers once (deployment-style static sizing)
-    x_f32 = make_bench_input(voxels, coors, spatial_shape, dtype=jnp.float32)
-    bounds = measure_pool_bounds(spatial_shape, x_f32)
+    # size per-stage buffers once (deployment-style static sizing); cached
+    # on disk because the eager sizing pass costs minutes of dispatch
+    # overhead on the tunneled TPU
+    import json as _json
+    from pathlib import Path
+
+    cache = Path(__file__).parent / ".bench_pool_bounds.json"
+    if cache.exists():
+        bounds = _json.loads(cache.read_text())
+    else:
+        x_f32 = make_bench_input(voxels, coors, spatial_shape,
+                                 dtype=jnp.float32)
+        bounds = measure_pool_bounds(spatial_shape, x_f32)
+        cache.write_text(_json.dumps(bounds))
     print(f"pool bounds: {bounds}", file=sys.stderr)
 
     net = BenchNet(spatial_shape, dtype=dtype, pool_bounds=bounds)
