@@ -1,0 +1,132 @@
+"""Autotuner (parity: ``spconv/algo.py`` GemmTunerSimple/ConvTunerSimple +
+the C++ twins in ``csrc/sparse/convops.py:457-1467``).
+
+The reference profiles CUTLASS tile configs per (dtype, K, C, arch,
+mask_width) and caches winners (``convops.py:1283-1301``).  The XLA
+analog: the tunable axes are the *compute-path parameters we control* —
+gather chunk width, accumulation dtype, and (once multiple algorithms
+exist) algorithm choice.  Winners are measured with device-accurate in-jit
+timing (``tools.benchmark_model``) and cached to disk keyed on the op
+signature, surviving process restarts like the reference's tuner cache.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+from .constants import SPCONV_TUNE_CACHE
+
+__all__ = ["ConvTuner", "CONV_TUNER"]
+
+
+class ConvTuner:
+    def __init__(self, cache_dir: Optional[str] = None):
+        self.cache_dir = Path(cache_dir or SPCONV_TUNE_CACHE)
+        self._cache: Dict[str, dict] = {}
+        self._loaded = False
+
+    # -- persistence ----------------------------------------------------
+    def _cache_file(self) -> Path:
+        return self.cache_dir / "conv_tune_cache.json"
+
+    def _load(self):
+        if self._loaded:
+            return
+        self._loaded = True
+        f = self._cache_file()
+        if f.exists():
+            try:
+                self._cache.update(json.loads(f.read_text()))
+            except Exception:
+                pass
+
+    def _save(self):
+        self.cache_dir.mkdir(parents=True, exist_ok=True)
+        self._cache_file().write_text(json.dumps(self._cache, indent=1))
+
+    # -- keys (reference parity: (dtype, K, C, arch, op) tuple keys) ----
+    @staticmethod
+    def key(op: str, n_bucket: int, c: int, k: int, kv: int, dtype: str) -> str:
+        return f"{op}|n{n_bucket}|c{c}|k{k}|kv{kv}|{dtype}"
+
+    @staticmethod
+    def bucket_n(n: int) -> int:
+        """Bucket row counts to powers of two so one tuning covers a range."""
+        return 1 << max(10, int(np.ceil(np.log2(max(n, 1)))))
+
+    # -- lookup ---------------------------------------------------------
+    def get_tuned_params(self, op: str, n: int, c: int, k: int, kv: int,
+                         dtype: str) -> dict:
+        """Cached winner, else heuristic defaults."""
+        self._load()
+        kk = self.key(op, self.bucket_n(n), c, k, kv, dtype)
+        if kk in self._cache:
+            return self._cache[kk]
+        # heuristic default: chunk bounded by a 64M-element gather buffer
+        chunk = max(1, min(kv, (64 * 1024 * 1024) // max(1, n * c)))
+        return {"chunk": chunk, "source": "heuristic"}
+
+    # -- profiling ------------------------------------------------------
+    def tune_and_cache(self, op: str, n: int, c: int, k: int, kv: int,
+                       dtype: str,
+                       variants: Dict[str, Callable],
+                       args) -> dict:
+        """Measure ``variants`` (name → callable(*args)) with in-jit
+        repetition timing; cache and return the winner's params.  Variant
+        names encode their params as 'chunk=9'-style fragments."""
+        from .tools import benchmark_model
+
+        results = {}
+        for name, fn in variants.items():
+            try:
+                results[name] = benchmark_model(fn, args, rep=6, n_outer=2)
+            except Exception as e:  # variant may not compile on this backend
+                results[name] = float("inf")
+        winner = min(results, key=results.get)
+        params = {"source": "tuned", "ms": results[winner]}
+        for frag in winner.split(","):
+            if "=" in frag:
+                key_, val = frag.split("=")
+                params[key_] = int(val) if val.isdigit() else val
+        self._load()
+        self._cache[self.key(op, self.bucket_n(n), c, k, kv, dtype)] = params
+        self._save()
+        return params
+
+    def tune_conv_chunk(self, features, weight_kv, pair_fwd, subm_center,
+                        chunks=(3, 9, 14, 27)) -> dict:
+        """Tune the gather-chunk width of the conv compute on real data."""
+        from .ops import gather_gemm as gg
+
+        n = pair_fwd.shape[1]
+        c = features.shape[1]
+        kv = pair_fwd.shape[0]
+        k = weight_kv.shape[2]
+        variants = {}
+        for ch in chunks:
+            if ch > kv:
+                continue
+
+            def make(ch_):
+                def fn(f):
+                    old = gg._CHUNK_BUDGET
+                    try:
+                        gg._CHUNK_BUDGET = ch_ * n * c
+                        return gg.gather_mm(f, weight_kv, pair_fwd,
+                                            subm_center)
+                    finally:
+                        gg._CHUNK_BUDGET = old
+                return fn
+
+            variants[f"chunk={ch}"] = make(ch)
+        return self.tune_and_cache("gather_mm", n, c, k, kv,
+                                   str(features.dtype), variants,
+                                   (features,))
+
+
+CONV_TUNER = ConvTuner()

@@ -1,0 +1,100 @@
+"""1d/2d/4d conv coverage (reference supports ndim 1-4) + tuner smoke."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+import torch.nn.functional as F
+
+import spconv_tpu
+from spconv_tpu import SparseConvTensor
+from spconv_tpu.tuner import ConvTuner
+from utils import generate_sparse_data, pad_sparse
+
+
+def make_x(rng, shape, n, c, nbuf, batch=2):
+    feats, inds = generate_sparse_data(shape, n, c, batch_size=batch, rng=rng)
+    feats_p, inds_p = pad_sparse(feats, inds, nbuf)
+    return (SparseConvTensor(jnp.asarray(feats_p), jnp.asarray(inds_p),
+                             shape, batch), feats_p, inds_p)
+
+
+def dense_of(x, feats_p, inds_p):
+    ndim = len(x.spatial_shape)
+    c = feats_p.shape[1]
+    out = np.zeros((x.batch_size, *x.spatial_shape, c), np.float32)
+    valid = inds_p[:, 0] >= 0
+    idx = inds_p[valid]
+    out[tuple(idx[:, i] for i in range(ndim + 1))] = feats_p[valid]
+    return np.moveaxis(out, -1, 1)
+
+
+@pytest.mark.parametrize("ndim,conv_cls,torch_fn", [
+    (1, spconv_tpu.SubMConv1d, F.conv1d),
+    (2, spconv_tpu.SubMConv2d, F.conv2d),
+])
+def test_subm_lowdim_vs_dense(rng, ndim, conv_cls, torch_fn):
+    shape = (15,) if ndim == 1 else (12, 13)
+    x, feats_p, inds_p = make_x(rng, shape, 10 if ndim == 1 else 60, 3, 160)
+    m = conv_cls(3, 5, 3, bias=True, indice_key="a")
+    y = m(x)
+    xd = torch.tensor(dense_of(x, feats_p, inds_p))
+    w = torch.tensor(np.moveaxis(np.asarray(m.weight), -1, 1).copy())
+    yd = torch_fn(xd, w, bias=torch.tensor(np.asarray(m.bias)),
+                  padding=1).numpy()
+    valid = inds_p[:, 0] >= 0
+    got = np.asarray(y.features)[valid]
+    want = np.stack([yd[(r[0], slice(None), *r[1:])] for r in inds_p[valid]])
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_conv4d_brute_force(rng):
+    """No torch conv4d — check against the brute-force pair reference."""
+    shape = (5, 6, 5, 6)
+    x, feats_p, inds_p = make_x(rng, shape, 60, 3, 160, batch=1)
+    m = spconv_tpu.SubMConv4d(3, 4, 3, bias=False, indice_key="a")
+    y = m(x)
+    w = np.asarray(m.weight).reshape(4, 81, 3)
+    # brute force: for each active site, sum over present neighbors
+    sites = {tuple(r): i for i, r in enumerate(inds_p) if r[0] >= 0}
+    from spconv_tpu.ops.coords import kernel_offsets
+    offs = kernel_offsets((3, 3, 3, 3)) - 1
+    got = np.asarray(y.features)
+    for coord, row in list(sites.items())[:40]:
+        acc = np.zeros(4, np.float32)
+        for k in range(81):
+            nb = (coord[0], *(np.array(coord[1:]) + offs[k]))
+            if nb in sites:
+                acc += w[:, k, :] @ feats_p[sites[nb]]
+        np.testing.assert_allclose(got[row], acc, atol=1e-4)
+
+
+def test_large_kernel_5x5x5(rng):
+    shape = (9, 10, 11)
+    x, feats_p, inds_p = make_x(rng, shape, 100, 3, 256)
+    m = spconv_tpu.SubMConv3d(3, 4, 5, bias=False, indice_key="big")
+    y = m(x)
+    xd = torch.tensor(dense_of(x, feats_p, inds_p))
+    w = torch.tensor(np.moveaxis(np.asarray(m.weight), -1, 1).copy())
+    yd = F.conv3d(xd, w, padding=2).numpy()
+    valid = inds_p[:, 0] >= 0
+    got = np.asarray(y.features)[valid]
+    want = np.stack([yd[r[0], :, r[1], r[2], r[3]] for r in inds_p[valid]])
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_tuner_heuristic_and_cache(tmp_path, rng):
+    t = ConvTuner(cache_dir=str(tmp_path))
+    p = t.get_tuned_params("gather_mm", 4096, 64, 64, 27, "bfloat16")
+    assert p["source"] == "heuristic" and p["chunk"] >= 1
+    # tune on tiny real data (CPU)
+    feats = jnp.asarray(rng.randn(257, 8).astype(np.float32))
+    pair = jnp.asarray(rng.randint(-1, 256, size=(27, 256)).astype(np.int32))
+    wkv = jnp.asarray(rng.randn(27, 8, 8).astype(np.float32))
+    won = t.tune_conv_chunk(feats, wkv, pair, None, chunks=(3, 27))
+    assert won["source"] == "tuned" and "chunk" in won
+    # cache round-trip
+    t2 = ConvTuner(cache_dir=str(tmp_path))
+    p2 = t2.get_tuned_params("gather_mm", 256, 8, 8, 27, "float32")
+    assert p2["source"] == "tuned"
