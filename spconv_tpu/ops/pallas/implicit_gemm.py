@@ -1,0 +1,201 @@
+"""Pallas masked implicit-GEMM for sparse convolution.
+
+TPU re-design of the reference's CUTLASS-style masked implicit GEMM
+(``ConvAlgo.MaskImplicitGemm``: the GEMM mainloop iterates filter offsets
+with per-tile masks so absent offsets are skipped —
+``spconv/pytorch/ops.py:1450-1664``, kernels in cumm).
+
+Structure per output tile (TILE rows of the key-sorted output):
+
+* the rulebook's ``pair_fwd[k]`` is a **monotone** partial map (input and
+  output rows are both key-sorted and the offset shift preserves key
+  order), so the input rows feeding a tile lie in a narrow contiguous
+  window per offset;
+* for each present offset (per-tile presence mask — spconv's mask trick):
+  DMA the window ``features[ws[k,t] : ws[k,t]+W]`` HBM→VMEM (contiguous,
+  streams at full bandwidth, unlike XLA's row-gather), then materialize
+  the gather as a one-hot × window **MXU matmul** (Mosaic has no dynamic
+  VMEM gather; the one-hot contraction is exact in bf16), accumulate
+  ``@ W[k]`` in fp32;
+* pairs falling outside the static window W are counted at plan time;
+  the caller falls back to the XLA gather path via ``lax.cond`` when any
+  exist (rare: W is calibrated per layer; zero on the benchmark scan).
+
+The (ws, rel, present) plan depends only on the rulebook, so it is built
+once per layer and cached with it.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["build_igemm_plan", "igemm_tile_matmul", "IGemmPlan"]
+
+
+class IGemmPlan(NamedTuple):
+    ws: jax.Array        # [kv, n_tiles] int32 — per (offset, tile) window start
+    rel: jax.Array       # [n_tiles, kv, TILE] int32 — pair − ws, W where absent
+    present: jax.Array   # [kv, n_tiles] int32 — 1 if offset has any pair in tile
+    overflow: jax.Array  # scalar int32 — pairs outside the window (→ fallback)
+    tile: int
+    window: int
+
+
+def build_igemm_plan(pair_fwd: jax.Array, n_in: int, tile: int = 256,
+                     window: int = 512) -> IGemmPlan:
+    """Plan construction (pure XLA, cheap int ops; cached per rulebook)."""
+    kv, n_out = pair_fwd.shape
+    assert n_out % tile == 0, (n_out, tile)
+    n_tiles = n_out // tile
+    pf = pair_fwd.reshape(kv, n_tiles, tile)
+    valid = pf >= 0
+    big = jnp.int32(np.iinfo(np.int32).max)
+    ws = jnp.min(jnp.where(valid, pf, big), axis=2)  # [kv, n_tiles]
+    present = jnp.any(valid, axis=2)
+    ws = jnp.where(present, ws, 0)
+    # DMA slice starts must be aligned to the sublane tiling (16 rows for
+    # bf16); keep window a multiple of 16 too
+    ws = (ws // 16) * 16
+    ws = jnp.clip(ws, 0, max(n_in + 1 - window, 0))
+    rel = pf - ws[:, :, None]
+    in_win = valid & (rel >= 0) & (rel < window)
+    rel = jnp.where(in_win, rel, window)  # window ⇒ no one-hot match ⇒ 0
+    overflow = jnp.sum((valid & ~in_win).astype(jnp.int32))
+    return IGemmPlan(
+        ws=ws.astype(jnp.int32),
+        rel=jnp.transpose(rel, (1, 0, 2)).astype(jnp.int32),
+        present=present.astype(jnp.int32),
+        overflow=overflow,
+        tile=tile,
+        window=window,
+    )
+
+
+def _igemm_kernel(kv: int, tile: int, window: int, c: int, k_ch: int,
+                  acc_dtype,
+                  # refs:
+                  ws_ref, present_ref,  # scalar-prefetch [kv, n_tiles]
+                  rel_ref,              # [1, kv, tile] VMEM block
+                  feat_hbm,             # [n_in+pad, c] ANY/HBM
+                  w_ref,                # [kv, c, k_ch] VMEM
+                  out_ref,              # [1, tile, k_ch] VMEM block
+                  win_ref, acc_ref, sem):
+    t = pl.program_id(0)
+    acc_ref[:] = jnp.zeros((tile, k_ch), acc_dtype)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (tile, window), 1)
+
+    for k in range(kv):
+        @pl.when(present_ref[k, t] == 1)
+        def _():
+            start = pl.multiple_of(ws_ref[k, t], 16)
+            cp = pltpu.make_async_copy(
+                feat_hbm.at[pl.ds(start, window), :],
+                win_ref,
+                sem,
+            )
+            cp.start()
+            rel = rel_ref[0, k, :]  # [tile]
+            onehot = (iota_w == rel[:, None]).astype(jnp.bfloat16)
+            cp.wait()
+            g = jnp.dot(onehot, win_ref[:].astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+            acc_ref[:] += jnp.dot(
+                g.astype(jnp.bfloat16), w_ref[k].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            ).astype(acc_dtype)
+
+    out_ref[0] = acc_ref[:].astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "window", "interpret"))
+def igemm_tile_matmul(features: jax.Array, weight_kv: jax.Array,
+                      plan: IGemmPlan, *, tile: int, window: int,
+                      interpret: bool = False) -> jax.Array:
+    """out[o] = Σ_k features[pair_fwd[k, o]] @ W[k] via the Pallas kernel.
+
+    ``features`` must already carry the trailing zero row (index n_in).
+    """
+    kv, c, k_ch = weight_kv.shape
+    n_tiles = plan.rel.shape[0]
+    n_out = n_tiles * tile
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # ws, present
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, kv, tile), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile, k_ch), lambda t, *_: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((window, c), features.dtype),
+            pltpu.VMEM((tile, k_ch), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    kernel = functools.partial(
+        _igemm_kernel, kv, tile, window, c, k_ch, jnp.float32)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, tile, k_ch), features.dtype),
+        interpret=interpret,
+    )(plan.ws, plan.present, plan.rel, features, weight_kv)
+    return out.reshape(n_out, k_ch)
+
+
+def implicit_gemm(features: jax.Array, weight_kv: jax.Array,
+                  pair_fwd: jax.Array, *, tile: int = 256, window: int = 512,
+                  interpret: bool = False,
+                  fallback: bool = True) -> jax.Array:
+    """High-level entry: plan + kernel, with a ``lax.cond`` fall back to the
+    XLA gather path when any pair overflows the static window (parity
+    role: the reference re-runs with Native algo when igemm can't apply).
+    """
+    from ..gather_gemm import gather_mm
+
+    n_in, c = features.shape
+    kv, n_out = pair_fwd.shape
+    pad_out = -(-n_out // tile) * tile
+    if pad_out != n_out:
+        pair_fwd = jnp.concatenate(
+            [pair_fwd, jnp.full((kv, pad_out - n_out), -1, pair_fwd.dtype)],
+            axis=1)
+    # zero row at index n_in, then pad rows so every window DMA is in
+    # bounds and 16-row aligned; channels padded to the 128-lane tile
+    # (HBM window slices must be lane-aligned)
+    n_pad = max(window, -(-(n_in + 1) // 16) * 16)
+    c_pad = -(-c // 128) * 128
+    plan = build_igemm_plan(pair_fwd, n_pad - 1, tile=tile, window=window)
+    featz = jnp.zeros((n_pad, c_pad), features.dtype)
+    featz = jax.lax.dynamic_update_slice(featz, features, (0, 0))
+    if c_pad != c:
+        weight_kv = jnp.concatenate(
+            [weight_kv,
+             jnp.zeros((kv, c_pad - c, weight_kv.shape[2]), weight_kv.dtype)],
+            axis=1)
+
+    def fast(_):
+        return igemm_tile_matmul(featz, weight_kv, plan, tile=tile,
+                                 window=window, interpret=interpret)
+
+    if fallback:
+        def slow(_):
+            out = gather_mm(features, weight_kv, pair_fwd, None,
+                            jnp.float32, out_dtype=features.dtype)
+            return out
+
+        out = jax.lax.cond(plan.overflow == 0, fast, slow, operand=None)
+    else:
+        out = fast(None)
+    return out[:n_out]
