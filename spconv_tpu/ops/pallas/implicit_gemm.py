@@ -180,13 +180,15 @@ def implicit_gemm(features: jax.Array, weight_kv: jax.Array,
     featz = jnp.zeros((n_pad, c_pad), features.dtype)
     featz = jax.lax.dynamic_update_slice(featz, features, (0, 0))
     if c_pad != c:
-        weight_kv = jnp.concatenate(
+        weight_pad = jnp.concatenate(
             [weight_kv,
              jnp.zeros((kv, c_pad - c, weight_kv.shape[2]), weight_kv.dtype)],
             axis=1)
+    else:
+        weight_pad = weight_kv
 
     def fast(_):
-        return igemm_tile_matmul(featz, weight_kv, plan, tile=tile,
+        return igemm_tile_matmul(featz, weight_pad, plan, tile=tile,
                                  window=window, interpret=interpret)
 
     if fallback:
