@@ -231,6 +231,9 @@ class SparseConvolution(Module):
             out_indices = data.out_indices
             out_spatial_shape = data.out_spatial_shape
             is_subm = False
+            from ..calibrate import _maybe_record
+
+            _maybe_record(self, data.num_out)
 
         out_feat = indice_conv(
             features,

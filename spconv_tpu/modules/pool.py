@@ -94,6 +94,9 @@ class _SparsePoolBase(Module):
             out_indices = data.out_indices
             out_spatial = data.out_spatial_shape
             num_out = data.num_out
+            from ..calibrate import _maybe_record
+
+            _maybe_record(self, num_out)
 
         if self._mode == "max":
             out_feat = indice_maxpool(input.features, data.pair_fwd)
