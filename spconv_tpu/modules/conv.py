@@ -242,6 +242,7 @@ class SparseConvolution(Module):
             pair_bwd,
             is_subm=is_subm,
             fp32_accum=self.fp32_accum,
+            algo=self.algo,
         )
         out_valid = out_indices[:, 0] >= 0
         out_feat = bias_add_act(

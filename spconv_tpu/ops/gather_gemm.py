@@ -159,20 +159,32 @@ def wgrad_gather_mm(
     return dws.astype(out_dtype)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _indice_conv_core(features, weight_kv, pair_fwd, pair_bwd, subm_center, fp32_accum):
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _indice_conv_core(features, weight_kv, pair_fwd, pair_bwd, subm_center,
+                      fp32_accum, algo):
+    if algo is not None and algo.startswith("implicit_gemm"):
+        # Pallas masked implicit-GEMM forward (ops/pallas/implicit_gemm.py);
+        # backward stays on the gather paths below.
+        from .pallas.implicit_gemm import implicit_gemm as _pl_igemm
+
+        parts = algo.split(":")
+        tile = int(parts[1]) if len(parts) > 1 else 512
+        window = int(parts[2]) if len(parts) > 2 else 512
+        return _pl_igemm(features, weight_kv, pair_fwd, tile=tile,
+                         window=window, fallback=True)
     accum = jnp.float32 if fp32_accum else features.dtype
     return gather_mm(features, weight_kv, pair_fwd, subm_center, accum)
 
 
-def _indice_conv_fwd(features, weight_kv, pair_fwd, pair_bwd, subm_center, fp32_accum):
+def _indice_conv_fwd(features, weight_kv, pair_fwd, pair_bwd, subm_center,
+                     fp32_accum, algo):
     out = _indice_conv_core(
-        features, weight_kv, pair_fwd, pair_bwd, subm_center, fp32_accum
+        features, weight_kv, pair_fwd, pair_bwd, subm_center, fp32_accum, algo
     )
     return out, (features, weight_kv, pair_fwd, pair_bwd)
 
 
-def _indice_conv_bwd(subm_center, fp32_accum, res, g):
+def _indice_conv_bwd(subm_center, fp32_accum, algo, res, g):
     features, weight_kv, pair_fwd, pair_bwd = res
     accum = jnp.float32 if fp32_accum else features.dtype
     g = g.astype(features.dtype)
@@ -202,12 +214,16 @@ def indice_conv(
     *,
     is_subm: bool,
     fp32_accum: bool = True,
+    algo: str = None,
 ) -> jax.Array:
     """Sparse convolution compute given a rulebook.
 
     ``weight`` is KRSC (out-channels, *kernel, in-channels) — the only
     layout the reference supports in 2.2+ (``conv.py:129-139``,
     ``constants.py:42``).
+
+    ``algo``: None/"native" = chunked gather+einsum;
+    "implicit_gemm[:TILE[:WINDOW]]" = Pallas masked implicit-GEMM forward.
     """
     k_out = weight.shape[0]
     c_in = weight.shape[-1]
@@ -216,6 +232,8 @@ def indice_conv(
     # [K, kv, C] → [kv, C, K]
     weight_kv = jnp.transpose(weight.reshape(k_out, kv, c_in), (1, 2, 0))
     subm_center = kv // 2 if (is_subm and kv % 2 == 1) else None
+    if algo == "native":
+        algo = None
     return _indice_conv_core(
-        features, weight_kv, pair_fwd, pair_bwd, subm_center, fp32_accum
+        features, weight_kv, pair_fwd, pair_bwd, subm_center, fp32_accum, algo
     )

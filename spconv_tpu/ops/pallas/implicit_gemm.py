@@ -36,7 +36,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["build_igemm_plan", "igemm_tile_matmul", "IGemmPlan"]
+__all__ = ["build_igemm_plan", "igemm_tile_matmul", "igemm_tile_matmul_packed", "implicit_gemm", "IGemmPlan"]
 
 
 class IGemmPlan(NamedTuple):
@@ -49,7 +49,7 @@ class IGemmPlan(NamedTuple):
 
 
 def build_igemm_plan(pair_fwd: jax.Array, n_in: int, tile: int = 256,
-                     window: int = 512) -> IGemmPlan:
+                     window: int = 512, align: int = 16) -> IGemmPlan:
     """Plan construction (pure XLA, cheap int ops; cached per rulebook)."""
     kv, n_out = pair_fwd.shape
     assert n_out % tile == 0, (n_out, tile)
@@ -61,8 +61,8 @@ def build_igemm_plan(pair_fwd: jax.Array, n_in: int, tile: int = 256,
     present = jnp.any(valid, axis=2)
     ws = jnp.where(present, ws, 0)
     # DMA slice starts must be aligned to the sublane tiling (16 rows for
-    # bf16); keep window a multiple of 16 too
-    ws = (ws // 16) * 16
+    # bf16; 32 when 2-row packing halves the row space)
+    ws = (ws // align) * align
     ws = jnp.clip(ws, 0, max(n_in + 1 - window, 0))
     rel = pf - ws[:, :, None]
     in_win = valid & (rel >= 0) & (rel < window)
@@ -114,6 +114,52 @@ def _igemm_kernel(kv: int, tile: int, window: int, c: int, k_ch: int,
     out_ref[0] = acc_ref[:].astype(out_ref.dtype)
 
 
+def _igemm_kernel_packed(kv: int, tile: int, window: int, c: int, k_ch: int,
+                         acc_dtype,
+                         ws_ref, present_ref, rel_ref, feat_hbm, w_ref,
+                         out_ref, win_ref, acc_ref, sems):
+    """2-row-packed variant for c == 64: features are [N/2, 128] with rows
+    (2r, 2r+1) side by side; the one-hot works in packed-row space (half
+    the window) and the row parity selects the lane half — halving DMA,
+    one-hot build and gather-matmul FLOPs vs channel padding.
+
+    All present offsets' window DMAs are issued up front into per-offset
+    buffers so the DMA latencies overlap with compute (a serialized
+    start/wait per offset was latency-bound: 27 round-trips × ~500 tiles
+    dominated the kernel)."""
+    t = pl.program_id(0)
+    wp = window // 2
+    acc_ref[:] = jnp.zeros((tile, k_ch), acc_dtype)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (tile, wp), 1)
+
+    def dma(k):
+        start = pl.multiple_of(ws_ref[k, t] // 2, 16)
+        return pltpu.make_async_copy(
+            feat_hbm.at[pl.ds(start, wp), :], win_ref.at[k], sems.at[k])
+
+    for k in range(kv):
+        @pl.when(present_ref[k, t] == 1)
+        def _():
+            dma(k).start()
+
+    for k in range(kv):
+        @pl.when(present_ref[k, t] == 1)
+        def _():
+            rel = rel_ref[0, k, :]  # [tile]; window sentinel ⇒ no match
+            onehot = (iota_w == (rel >> 1)[:, None]).astype(jnp.bfloat16)
+            parity = (rel & 1)[:, None]  # [tile, 1]
+            dma(k).wait()
+            g2 = jnp.dot(onehot, win_ref[k].astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)  # [tile, 128]
+            g = jnp.where(parity == 0, g2[:, :c], g2[:, c:])
+            acc_ref[:] += jnp.dot(
+                g.astype(jnp.bfloat16), w_ref[k].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            ).astype(acc_dtype)
+
+    out_ref[0] = acc_ref[:].astype(out_ref.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("tile", "window", "interpret"))
 def igemm_tile_matmul(features: jax.Array, weight_kv: jax.Array,
                       plan: IGemmPlan, *, tile: int, window: int,
@@ -154,6 +200,46 @@ def igemm_tile_matmul(features: jax.Array, weight_kv: jax.Array,
     return out.reshape(n_out, k_ch)
 
 
+@functools.partial(jax.jit, static_argnames=("tile", "window", "interpret"))
+def igemm_tile_matmul_packed(features_packed: jax.Array,
+                             weight_kv: jax.Array, plan: IGemmPlan, *,
+                             tile: int, window: int,
+                             interpret: bool = False) -> jax.Array:
+    """Packed (c=64) kernel entry: ``features_packed`` is [N/2, 128]."""
+    kv, c, k_ch = weight_kv.shape
+    assert c == 64 and window % 32 == 0
+    n_tiles = plan.rel.shape[0]
+    n_out = n_tiles * tile
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, kv, tile), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile, k_ch), lambda t, *_: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((kv, window // 2, 128), features_packed.dtype),
+            pltpu.VMEM((tile, k_ch), jnp.float32),
+            pltpu.SemaphoreType.DMA((kv,)),
+        ],
+    )
+    kernel = functools.partial(
+        _igemm_kernel_packed, kv, tile, window, c, k_ch, jnp.float32)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, tile, k_ch),
+                                       features_packed.dtype),
+        interpret=interpret,
+    )(plan.ws, plan.present, plan.rel, features_packed, weight_kv)
+    return out.reshape(n_out, k_ch)
+
+
 def implicit_gemm(features: jax.Array, weight_kv: jax.Array,
                   pair_fwd: jax.Array, *, tile: int = 256, window: int = 512,
                   interpret: bool = False,
@@ -172,24 +258,37 @@ def implicit_gemm(features: jax.Array, weight_kv: jax.Array,
             [pair_fwd, jnp.full((kv, pad_out - n_out), -1, pair_fwd.dtype)],
             axis=1)
     # zero row at index n_in, then pad rows so every window DMA is in
-    # bounds and 16-row aligned; channels padded to the 128-lane tile
-    # (HBM window slices must be lane-aligned)
-    n_pad = max(window, -(-(n_in + 1) // 16) * 16)
-    c_pad = -(-c // 128) * 128
-    plan = build_igemm_plan(pair_fwd, n_pad - 1, tile=tile, window=window)
-    featz = jnp.zeros((n_pad, c_pad), features.dtype)
-    featz = jax.lax.dynamic_update_slice(featz, features, (0, 0))
-    if c_pad != c:
-        weight_pad = jnp.concatenate(
-            [weight_kv,
-             jnp.zeros((kv, c_pad - c, weight_kv.shape[2]), weight_kv.dtype)],
-            axis=1)
-    else:
-        weight_pad = weight_kv
+    # bounds and aligned; for c == 64 use the 2-row packed kernel (halves
+    # DMA/one-hot/matmul), else pad channels to the 128-lane tile
+    pack2 = (c == 64) and window % 32 == 0
+    align = 32 if pack2 else 16
+    n_pad = max(window, -(-(n_in + 1) // align) * align)
+    plan = build_igemm_plan(pair_fwd, n_pad - 1, tile=tile, window=window,
+                            align=align)
+    if pack2:
+        featz = jnp.zeros((n_pad, c), features.dtype)
+        featz = jax.lax.dynamic_update_slice(featz, features, (0, 0))
+        featp = featz.reshape(n_pad // 2, 128)
 
-    def fast(_):
-        return igemm_tile_matmul(featz, weight_pad, plan, tile=tile,
-                                 window=window, interpret=interpret)
+        def fast(_):
+            return igemm_tile_matmul_packed(
+                featp, weight_kv, plan, tile=tile, window=window,
+                interpret=interpret)
+    else:
+        c_pad = -(-c // 128) * 128
+        featz = jnp.zeros((n_pad, c_pad), features.dtype)
+        featz = jax.lax.dynamic_update_slice(featz, features, (0, 0))
+        if c_pad != c:
+            weight_pad = jnp.concatenate(
+                [weight_kv,
+                 jnp.zeros((kv, c_pad - c, weight_kv.shape[2]),
+                           weight_kv.dtype)], axis=1)
+        else:
+            weight_pad = weight_kv
+
+        def fast(_):
+            return igemm_tile_matmul(featz, weight_pad, plan, tile=tile,
+                                     window=window, interpret=interpret)
 
     if fallback:
         def slow(_):

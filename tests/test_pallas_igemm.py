@@ -62,3 +62,15 @@ def test_igemm_fallback_on_overflow(rng):
     got = np.asarray(implicit_gemm(feats, wkv, data.pair_fwd, tile=64,
                                    window=8, interpret=True, fallback=True))
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_igemm_packed_c64(rng):
+    """2-row packed kernel path (c=64) matches the reference compute."""
+    feats, _, data = make_problem(rng, c=64, k=32)
+    wkv = jnp.asarray(rng.uniform(-1, 1, (27, 64, 32)).astype(np.float32))
+    want = np.asarray(gather_mm(feats, wkv, data.pair_fwd, None, jnp.float32))
+    got = np.asarray(implicit_gemm(feats, wkv, data.pair_fwd, tile=64,
+                                   window=256, interpret=True,
+                                   fallback=False))
+    denom = np.abs(want).mean() + 1e-6
+    assert np.abs(got - want).mean() / denom < 0.02
