@@ -15,6 +15,11 @@ from . import ops
 from . import functional
 from .functional import sparse_add
 from .modules import *  # noqa: F401,F403 — public layer API (mirrors spconv.pytorch)
+from . import checkpoint
+from . import tools
+from .calibrate import calibrate_out_bounds, record_voxel_counts
+from .hash import HashTable
+from .tuner import CONV_TUNER, ConvTuner
 
 __all__ = [
     "SparseConvTensor",
