@@ -15,18 +15,29 @@ import numpy as np
 __all__ = ["indice_maxpool", "indice_avgpool", "global_pool"]
 
 
+_POOL_CHUNK_BUDGET = 64 * 1024 * 1024
+
+
+def _pool_chunks(kv: int, n: int, c: int):
+    per = max(1, min(kv, _POOL_CHUNK_BUDGET // max(1, n * c)))
+    return [list(range(i, min(i + per, kv))) for i in range(0, kv, per)]
+
+
 def indice_maxpool(features: jax.Array, pair_fwd: jax.Array) -> jax.Array:
     """out[o] = max over offsets k (present pairs only) of feat[pair[k,o]];
-    outputs with no pairs → 0."""
-    neg_inf = jnp.array(-jnp.inf, dtype=jnp.float32)
-
-    def body(acc, pf_k):
-        g = jnp.take(features, jnp.maximum(pf_k, 0), axis=0).astype(jnp.float32)
-        g = jnp.where((pf_k >= 0)[:, None], g, neg_inf)
-        return jnp.maximum(acc, g), None
-
-    init = jnp.full((pair_fwd.shape[1], features.shape[1]), -jnp.inf, jnp.float32)
-    acc, _ = jax.lax.scan(body, init, pair_fwd)
+    outputs with no pairs → 0.  Batched chunked gathers (a scan-carried
+    accumulator blocks XLA fusion — same finding as the conv compute)."""
+    kv, n_out = pair_fwd.shape
+    c = features.shape[1]
+    # clamp invalid pairs to a -inf row appended at the end
+    fpad = jnp.concatenate(
+        [features.astype(jnp.float32),
+         jnp.full((1, c), -jnp.inf, jnp.float32)], axis=0)
+    pf = jnp.where(pair_fwd >= 0, pair_fwd, features.shape[0])
+    acc = jnp.full((n_out, c), -jnp.inf, jnp.float32)
+    for ch in _pool_chunks(kv, n_out, c):
+        g = jnp.take(fpad, pf[np.array(ch)], axis=0)  # [chunk, N, C]
+        acc = jnp.maximum(acc, jnp.max(g, axis=0))
     acc = jnp.where(jnp.isfinite(acc), acc, 0)
     return acc.astype(features.dtype)
 
@@ -34,20 +45,16 @@ def indice_maxpool(features: jax.Array, pair_fwd: jax.Array) -> jax.Array:
 def indice_avgpool(features: jax.Array, pair_fwd: jax.Array) -> jax.Array:
     """Average over *present* inputs per output (count_include_pad=False
     semantics, parity: ``maxpool.py:211-302`` avgpool count normalization)."""
-
-    def body(carry, pf_k):
-        acc, cnt = carry
-        valid = (pf_k >= 0)[:, None]
-        g = jnp.take(features, jnp.maximum(pf_k, 0), axis=0).astype(jnp.float32)
-        g = jnp.where(valid, g, 0)
-        return (acc + g, cnt + valid.astype(jnp.float32)), None
-
-    n_out = pair_fwd.shape[1]
-    init = (
-        jnp.zeros((n_out, features.shape[1]), jnp.float32),
-        jnp.zeros((n_out, 1), jnp.float32),
-    )
-    (acc, cnt), _ = jax.lax.scan(body, init, pair_fwd)
+    kv, n_out = pair_fwd.shape
+    c = features.shape[1]
+    fpad = jnp.concatenate(
+        [features.astype(jnp.float32), jnp.zeros((1, c), jnp.float32)], axis=0)
+    pf = jnp.where(pair_fwd >= 0, pair_fwd, features.shape[0])
+    acc = jnp.zeros((n_out, c), jnp.float32)
+    for ch in _pool_chunks(kv, n_out, c):
+        g = jnp.take(fpad, pf[np.array(ch)], axis=0)
+        acc = acc + jnp.sum(g, axis=0)
+    cnt = jnp.sum((pair_fwd >= 0).astype(jnp.float32), axis=0)[:, None]
     out = acc / jnp.maximum(cnt, 1)
     return out.astype(features.dtype)
 
