@@ -1,0 +1,63 @@
+"""CenterPoint-backbone benchmark — the BASELINE.json north-star config:
+nuScenes-style sparse encoder forward, bf16, one scan per step.
+
+Voxelizes the real LiDAR scan (``benchmark-pc.npz``) at 0.1 m over a
+[-51.2, 51.2]² × [-5, 3] range → grid [80, 1024, 1024], runs
+``models.centerpoint_encoder`` (inference mode, BN folded out via
+``bn=False`` weights) to the dense BEV map.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import spconv_tpu
+from spconv_tpu import SparseConvTensor
+from spconv_tpu.calibrate import calibrate_out_bounds
+from spconv_tpu.models import centerpoint_encoder
+from spconv_tpu.utils import PointToVoxel
+
+REF_PC = Path("/root/reference/test/data/benchmark-pc.npz")
+
+
+def load_centerpoint_input(dtype=jnp.bfloat16, bucket=1024):
+    pc = np.load(str(REF_PC))["pc"].astype(np.float32)
+    gen = PointToVoxel([0.1, 0.1, 0.1], [-51.2, -51.2, -5, 51.2, 51.2, 3],
+                       3, 200000, 1)
+    voxels, coords, npv, _vid, nv = gen.generate_voxel_with_id(pc)
+    nv = int(nv)
+    feats = np.asarray(voxels).reshape(-1, 3)[:nv]
+    coords = np.asarray(coords)[:nv]
+    nbuf = max(bucket, -(-nv // bucket) * bucket)
+    fp = np.zeros((nbuf, 5), np.float32)
+    fp[:nv, :3] = feats
+    fp[:nv, 3] = 1.0  # intensity placeholder
+    fp[:nv, 4] = 0.0  # timestamp placeholder (nuScenes 5-feature input)
+    ip = np.full((nbuf, 4), -1, np.int32)
+    ip[:nv, 0] = 0
+    ip[:nv, 1:] = coords
+    shape = tuple(gen.grid_size)
+    return SparseConvTensor(jnp.asarray(fp, dtype=dtype), jnp.asarray(ip),
+                            shape, 1), nv
+
+
+def build_calibrated_encoder(x: SparseConvTensor, dtype=jnp.bfloat16):
+    net32 = centerpoint_encoder(in_channels=5, bn=False, dtype=jnp.float32)
+    x32 = x.replace_feature(x.features.astype(jnp.float32))
+    net32 = calibrate_out_bounds(net32, lambda m, t: m.bev(t), [x32],
+                                 margin=1.15, mult=512)
+    # rebuild in bf16 with the calibrated bounds
+    from spconv_tpu.checkpoint import load_state_dict, state_dict
+
+    net16 = jax.tree_util.tree_map(
+        lambda v: v.astype(dtype)
+        if hasattr(v, "dtype") and jnp.issubdtype(v.dtype, jnp.floating)
+        else v,
+        net32,
+    )
+    return net16
