@@ -115,25 +115,24 @@ def _igemm_kernel(kv: int, tile: int, window: int, c: int, k_ch: int,
 
 
 def _igemm_kernel_packed(kv: int, tile: int, window: int, c: int, k_ch: int,
-                         acc_dtype,
+                         pack: int, acc_dtype,
                          ws_ref, present_ref, rel_ref, feat_hbm, w_ref,
                          out_ref, win_ref, acc_ref, sems):
-    """2-row-packed variant for c == 64: features are [N/2, 128] with rows
-    (2r, 2r+1) side by side; the one-hot works in packed-row space (half
-    the window) and the row parity selects the lane half — halving DMA,
-    one-hot build and gather-matmul FLOPs vs channel padding.
+    """Row-packed variant for 128 % c == 0: features are reshaped to
+    [N/pack, 128] with ``pack`` consecutive rows side by side; the one-hot
+    works in packed-row space (window/pack wide) and the in-packed-row
+    slot selects the lane slice — cutting DMA, one-hot build and
+    gather-matmul FLOPs by ``pack``× vs channel padding.
 
     All present offsets' window DMAs are issued up front into per-offset
-    buffers so the DMA latencies overlap with compute (a serialized
-    start/wait per offset was latency-bound: 27 round-trips × ~500 tiles
-    dominated the kernel)."""
+    buffers so the DMA latencies overlap with compute."""
     t = pl.program_id(0)
-    wp = window // 2
+    wp = window // pack
     acc_ref[:] = jnp.zeros((tile, k_ch), acc_dtype)
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (tile, wp), 1)
 
     def dma(k):
-        start = pl.multiple_of(ws_ref[k, t] // 2, 16)
+        start = pl.multiple_of(ws_ref[k, t] // pack, 16)
         return pltpu.make_async_copy(
             feat_hbm.at[pl.ds(start, wp), :], win_ref.at[k], sems.at[k])
 
@@ -146,12 +145,14 @@ def _igemm_kernel_packed(kv: int, tile: int, window: int, c: int, k_ch: int,
         @pl.when(present_ref[k, t] == 1)
         def _():
             rel = rel_ref[0, k, :]  # [tile]; window sentinel ⇒ no match
-            onehot = (iota_w == (rel >> 1)[:, None]).astype(jnp.bfloat16)
-            parity = (rel & 1)[:, None]  # [tile, 1]
+            onehot = (iota_w == (rel // pack)[:, None]).astype(jnp.bfloat16)
+            slot = (rel % pack)[:, None]  # [tile, 1]
             dma(k).wait()
             g2 = jnp.dot(onehot, win_ref[k].astype(jnp.bfloat16),
                          preferred_element_type=jnp.float32)  # [tile, 128]
-            g = jnp.where(parity == 0, g2[:, :c], g2[:, c:])
+            g = g2[:, :c] * (slot == 0)
+            for p in range(1, pack):
+                g = g + g2[:, p * c:(p + 1) * c] * (slot == p)
             acc_ref[:] += jnp.dot(
                 g.astype(jnp.bfloat16), w_ref[k].astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32,
@@ -200,14 +201,63 @@ def igemm_tile_matmul(features: jax.Array, weight_kv: jax.Array,
     return out.reshape(n_out, k_ch)
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "window", "interpret"))
-def igemm_tile_matmul_packed(features_packed: jax.Array,
-                             weight_kv: jax.Array, plan: IGemmPlan, *,
-                             tile: int, window: int,
-                             interpret: bool = False) -> jax.Array:
-    """Packed (c=64) kernel entry: ``features_packed`` is [N/2, 128]."""
+def _igemm_kernel_batched(kv: int, tile: int, window: int, c: int, k_ch: int,
+                          pack: int, acc_dtype,
+                          ws_ref, present_ref, rel_ref, feat_hbm, w_ref,
+                          out_ref, win_ref, sems):
+    """Batched variant: one batched dot over all kv offsets per tile
+    instead of kv small matmuls (small-N matmuls engage a fraction of the
+    MXUs and are issue-rate bound — see DESIGN_NOTES.md).  Absent offsets
+    contribute zero automatically (their rel is the window sentinel, so
+    their one-hot rows are all-zero)."""
+    t = pl.program_id(0)
+    wp = window // pack
+
+    def dma(k):
+        start = pl.multiple_of(ws_ref[k, t] // pack, 16)
+        return pltpu.make_async_copy(
+            feat_hbm.at[pl.ds(start, wp), :], win_ref.at[k], sems.at[k])
+
+    for k in range(kv):
+        @pl.when(present_ref[k, t] == 1)
+        def _():
+            dma(k).start()
+
+    rel = rel_ref[0]  # [kv, tile]
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (kv, tile, wp), 2)
+    onehot = (iota_w == (rel // pack)[:, :, None]).astype(jnp.bfloat16)
+    slot = (rel % pack)[:, :, None]  # [kv, tile, 1]
+
+    for k in range(kv):
+        @pl.when(present_ref[k, t] == 1)
+        def _():
+            dma(k).wait()
+
+    g2 = jax.lax.dot_general(
+        onehot, win_ref[:].astype(jnp.bfloat16),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,  # Mosaic requires 32-bit acc
+    ).astype(jnp.bfloat16)  # [kv, tile, 128]
+    g = g2[:, :, :c] * (slot == 0)
+    for p in range(1, pack):
+        g = g + g2[:, :, p * c:(p + 1) * c] * (slot == p)
+    acc = jax.lax.dot_general(
+        g, w_ref[:].astype(jnp.bfloat16),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [kv, tile, k_ch]
+    out_ref[0] = jnp.sum(acc, axis=0).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "window", "pack",
+                                              "interpret"))
+def igemm_tile_matmul_batched(features_packed: jax.Array,
+                              weight_kv: jax.Array, plan: IGemmPlan, *,
+                              tile: int, window: int, pack: int,
+                              interpret: bool = False) -> jax.Array:
+    """Batched-dot packed kernel entry."""
     kv, c, k_ch = weight_kv.shape
-    assert c == 64 and window % 32 == 0
+    assert c * pack == 128 and window % (16 * pack) == 0
     n_tiles = plan.rel.shape[0]
     n_out = n_tiles * tile
 
@@ -223,13 +273,53 @@ def igemm_tile_matmul_packed(features_packed: jax.Array,
         out_specs=pl.BlockSpec((1, tile, k_ch), lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((kv, window // 2, 128), features_packed.dtype),
+            pltpu.VMEM((kv, window // pack, 128), features_packed.dtype),
+            pltpu.SemaphoreType.DMA((kv,)),
+        ],
+    )
+    kernel = functools.partial(
+        _igemm_kernel_batched, kv, tile, window, c, k_ch, pack, jnp.float32)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, tile, k_ch),
+                                       features_packed.dtype),
+        interpret=interpret,
+    )(plan.ws, plan.present, plan.rel, features_packed, weight_kv)
+    return out.reshape(n_out, k_ch)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "window", "pack",
+                                              "interpret"))
+def igemm_tile_matmul_packed(features_packed: jax.Array,
+                             weight_kv: jax.Array, plan: IGemmPlan, *,
+                             tile: int, window: int, pack: int,
+                             interpret: bool = False) -> jax.Array:
+    """Packed kernel entry: ``features_packed`` is [N/pack, pack*c]."""
+    kv, c, k_ch = weight_kv.shape
+    assert c * pack == 128 and window % (16 * pack) == 0
+    n_tiles = plan.rel.shape[0]
+    n_out = n_tiles * tile
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, kv, tile), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile, k_ch), lambda t, *_: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((kv, window // pack, 128), features_packed.dtype),
             pltpu.VMEM((tile, k_ch), jnp.float32),
             pltpu.SemaphoreType.DMA((kv,)),
         ],
     )
     kernel = functools.partial(
-        _igemm_kernel_packed, kv, tile, window, c, k_ch, jnp.float32)
+        _igemm_kernel_packed, kv, tile, window, c, k_ch, pack, jnp.float32)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -242,7 +332,7 @@ def igemm_tile_matmul_packed(features_packed: jax.Array,
 
 def implicit_gemm(features: jax.Array, weight_kv: jax.Array,
                   pair_fwd: jax.Array, *, tile: int = 256, window: int = 512,
-                  interpret: bool = False,
+                  interpret: bool = False, batched: bool = False,
                   fallback: bool = True) -> jax.Array:
     """High-level entry: plan + kernel, with a ``lax.cond`` fall back to the
     XLA gather path when any pair overflows the static window (parity
@@ -258,22 +348,25 @@ def implicit_gemm(features: jax.Array, weight_kv: jax.Array,
             [pair_fwd, jnp.full((kv, pad_out - n_out), -1, pair_fwd.dtype)],
             axis=1)
     # zero row at index n_in, then pad rows so every window DMA is in
-    # bounds and aligned; for c == 64 use the 2-row packed kernel (halves
-    # DMA/one-hot/matmul), else pad channels to the 128-lane tile
-    pack2 = (c == 64) and window % 32 == 0
-    align = 32 if pack2 else 16
+    # bounds and aligned; when 128 % c == 0 use the row-packed kernel
+    # (cuts DMA/one-hot/matmul by pack=128/c), else pad channels to the
+    # 128-lane tile
+    pack = 128 // c if (128 % c == 0 and c <= 128) else 0
+    packed = pack >= 1 and window % (16 * pack) == 0
+    align = 16 * pack if packed else 16
     n_pad = max(window, -(-(n_in + 1) // align) * align)
     plan = build_igemm_plan(pair_fwd, n_pad - 1, tile=tile, window=window,
                             align=align)
-    if pack2:
+    if packed:
         featz = jnp.zeros((n_pad, c), features.dtype)
         featz = jax.lax.dynamic_update_slice(featz, features, (0, 0))
-        featp = featz.reshape(n_pad // 2, 128)
+        featp = featz.reshape(n_pad // pack, 128)
 
         def fast(_):
-            return igemm_tile_matmul_packed(
-                featp, weight_kv, plan, tile=tile, window=window,
-                interpret=interpret)
+            f = (igemm_tile_matmul_batched if batched
+                 else igemm_tile_matmul_packed)
+            return f(featp, weight_kv, plan, tile=tile, window=window,
+                     pack=pack, interpret=interpret)
     else:
         c_pad = -(-c // 128) * 128
         featz = jnp.zeros((n_pad, c_pad), features.dtype)

@@ -74,3 +74,15 @@ def test_igemm_packed_c64(rng):
                                    fallback=False))
     denom = np.abs(want).mean() + 1e-6
     assert np.abs(got - want).mean() / denom < 0.02
+
+
+@pytest.mark.parametrize("c,k", [(16, 16), (32, 8), (128, 32)])
+def test_igemm_packed_other_widths(rng, c, k):
+    feats, _, data = make_problem(rng, c=c, k=k)
+    wkv = jnp.asarray(rng.uniform(-1, 1, (27, c, k)).astype(np.float32))
+    want = np.asarray(gather_mm(feats, wkv, data.pair_fwd, None, jnp.float32))
+    got = np.asarray(implicit_gemm(feats, wkv, data.pair_fwd, tile=64,
+                                   window=256, interpret=True,
+                                   fallback=False))
+    denom = np.abs(want).mean() + 1e-6
+    assert np.abs(got - want).mean() / denom < 0.02
