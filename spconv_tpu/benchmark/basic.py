@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 import spconv_tpu
+import spconv_tpu.utils
 from spconv_tpu import SparseConvTensor
 
 REF_DATA = Path("/root/reference/test/data")
