@@ -17,6 +17,7 @@ from .modules import (
     SparseModule, SparseSequential, Lambda,
     SparseIdentity, Identity, SparseReLU, SparseLeakyReLU, SparseSigmoid,
     BatchNorm1d, SparseBatchNorm, SparseSyncBatchNorm,
-    ToDense, PrintTensorMeta,
+    ToDense, PrintTensorMeta, PrintCurrentTime,
+    assign_name_for_sparse_modules,
 )
 from .tables import AddTable, ConcatTable, JoinTable

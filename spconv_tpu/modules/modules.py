@@ -251,3 +251,38 @@ class PrintTensorMeta(SparseModule):
                 s=x.features.shape, n=x.num_voxels,
             )
         return x
+
+
+class PrintCurrentTime(SparseModule):
+    """Debug passthrough (parity: ``modules.py:187-205``)."""
+
+    def __init__(self, name=None):
+        self.name = name
+
+    def __call__(self, x):
+        import time
+
+        print(f"[spconv_tpu] {time.strftime('%H:%M:%S')}")
+        return x
+
+
+def assign_name_for_sparse_modules(module) -> None:
+    """Assign unique names to unnamed sparse modules for benchmark
+    bookkeeping (parity: ``spconv.pytorch.assign_name_for_sparse_modules``)."""
+    counter = [0]
+
+    def visit(obj):
+        if isinstance(obj, Module):
+            if getattr(obj, "name", None) is None and "name" in obj.__dict__:
+                obj.__dict__["name"] = f"{type(obj).__name__}_{counter[0]}"
+                counter[0] += 1
+            for v in obj.__dict__.values():
+                visit(v)
+        elif isinstance(obj, (list, tuple)):
+            for v in obj:
+                visit(v)
+        elif isinstance(obj, dict):
+            for v in obj.values():
+                visit(v)
+
+    visit(module)
