@@ -136,7 +136,11 @@ class SparseConvolution(Module):
     def _resolve_out_bound(self, n_in: int) -> int:
         if self.out_bound is not None:
             return self.out_bound
-        if all(s == 1 for s in self.stride) and not self.transposed:
+        if self.transposed:
+            # transposed convs expand the active set by up to prod(stride)×
+            ratio = max(self.out_bound_ratio,
+                        2.0 * float(np.prod(self.stride)))
+        elif all(s == 1 for s in self.stride):
             ratio = max(self.out_bound_ratio, 2.0)
         else:
             ratio = self.out_bound_ratio

@@ -117,3 +117,30 @@ def test_pcc_roundtrip(rng):
     blob = encode_xyz(pci, error=0.02)
     dec = decode_xyz(blob)
     assert dec.shape == (1000, 4)
+
+
+def test_empty_input_through_net(rng):
+    """All-invalid input flows through conv/pool/global without NaNs."""
+    shape = (8, 9, 10)
+    x = SparseConvTensor(jnp.zeros((128, 4)),
+                         jnp.full((128, 4), -1, jnp.int32), shape, 1)
+    net = spconv_tpu.SparseSequential(
+        spconv_tpu.SubMConv3d(4, 8, 3, indice_key="e"),
+        spconv_tpu.SparseMaxPool3d(2, 2),
+    )
+    y = net(x)
+    assert int(jnp.sum((y.indices[:, 0] >= 0))) == 0
+    assert np.all(np.asarray(y.features) == 0)
+    g = spconv_tpu.SparseGlobalAvgPool()(y)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_transposed_default_bound_no_truncation(rng):
+    """Default out_bound for transposed convs must cover the expansion."""
+    x, feats_p, inds_p = make_input(rng, n=50, nbuf=128)
+    m = spconv_tpu.SparseConvTranspose3d(4, 4, 2, stride=2, bias=False)
+    y = m(x)
+    n_in = int((inds_p[:, 0] >= 0).sum())
+    n_out = int(np.asarray(y.indices[:, 0] >= 0).sum())
+    # k=2,s=2 transposed: every input spawns exactly 8 outputs (disjoint)
+    assert n_out == 8 * n_in
