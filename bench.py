@@ -1,15 +1,22 @@
 #!/usr/bin/env python
-"""Benchmark driver: reference-parity bench_basic net on the real 120k-voxel
-LiDAR scan, bf16 forward, on the attached TPU chip.
+"""Benchmark driver — runs the full metric set on the attached TPU chip:
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline: spconv 2.x bench_basic f16 forward on A100 = 13.02 ms
-(docs/BENCHMARK.md:27, see BASELINE.md).  vs_baseline = baseline / ours
-(>1 means we beat the A100 number).
+* bench_basic  (120k-voxel scan, ref net, bf16): forward + backward
+* bench_large  (900k-voxel scan):                forward + backward
+* CenterPoint north star (nuScenes-style encoder): forward
 
-Flags: --large (900k-voxel scan, baseline 19.85 ms), --bwd (fwd+bwd step,
-baselines 25.45 ms combined) — extra results go to stderr, the primary
-fwd-basic JSON stays the single stdout line.
+stdout carries ONE JSON line — the primary bench_basic forward metric.
+Every metric (including the primary) is also printed to stderr as its own
+JSON line so the driver's tail capture records the complete set.
+
+Baselines: spconv 2.x f16 on A100 (docs/BENCHMARK.md:27, BASELINE.md) —
+basic fwd 13.02 ms / bwd 12.43 ms; large fwd 19.85 ms / bwd 31.24 ms;
+CenterPoint north star ≤5 ms/scan.  vs_baseline = baseline / ours.
+
+Flags:
+  --algo=native|block   compute path (default: block — the brick MXU path)
+  --only=basic|large|cp run a single section (debugging)
+  --skip-bwd            skip backward measurements
 """
 
 import json
@@ -19,17 +26,49 @@ import time
 import numpy as np
 
 
-def main():
+def _emit(metric, value_ms, baseline_ms, primary=False):
+    line = json.dumps({
+        "metric": metric,
+        "value": round(value_ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(baseline_ms / max(value_ms, 1e-9), 3),
+    })
+    print(line, file=sys.stderr, flush=True)
+    if primary:
+        print(line, flush=True)
+
+
+def _sync_floor(jax):
+    tiny = jax.jit(lambda s: s + 1.0)
+    float(tiny(0.0))
+    t0 = time.time()
+    for _ in range(5):
+        float(tiny(0.0))
+    return (time.time() - t0) / 5 * 1000
+
+
+def _cached_bounds(name, fn):
+    import json as _json
+    from pathlib import Path
+
+    cache = Path(__file__).parent / name
+    if cache.exists():
+        return _json.loads(cache.read_text())
+    b = fn()
+    cache.write_text(_json.dumps(b))
+    return b
+
+
+def run_bench_net(large, algo, do_bwd, floor_ms):
     import jax
     import jax.numpy as jnp
 
     import spconv_tpu
     from spconv_tpu.benchmark.basic import (
         BenchNet, load_basic_data, load_large_data, make_bench_input,
-        measure_pool_bounds)
+        measure_block_bounds, measure_pool_bounds)
 
-    large = "--large" in sys.argv
-    do_bwd = "--bwd" in sys.argv
+    tag = "large" if large else "basic"
     dtype = jnp.bfloat16
     if large:
         voxels, coors, spatial_shape = load_large_data()
@@ -37,29 +76,31 @@ def main():
         voxels, coors, spatial_shape = load_basic_data()
     x = make_bench_input(voxels, coors, spatial_shape, dtype=dtype)
 
-    # size per-stage buffers once (deployment-style static sizing); cached
-    # on disk because the eager sizing pass costs minutes of dispatch
-    # overhead on the tunneled TPU
-    import json as _json
-    from pathlib import Path
+    # deployment-style static sizing, cached on disk (the eager sizing pass
+    # costs minutes of dispatch overhead through the TPU tunnel)
+    def pool_fn():
+        x32 = make_bench_input(voxels, coors, spatial_shape,
+                               dtype=jnp.float32)
+        return measure_pool_bounds(spatial_shape, x32)
 
-    name = ".bench_pool_bounds_large.json" if large else ".bench_pool_bounds.json"
-    cache = Path(__file__).parent / name
-    if cache.exists():
-        bounds = _json.loads(cache.read_text())
-    else:
-        x_f32 = make_bench_input(voxels, coors, spatial_shape,
-                                 dtype=jnp.float32)
-        bounds = measure_pool_bounds(spatial_shape, x_f32)
-        cache.write_text(_json.dumps(bounds))
-    print(f"pool bounds: {bounds}", file=sys.stderr)
+    pool_bounds = _cached_bounds(f".bench_pool_bounds{'_large' if large else ''}.json", pool_fn)
 
-    net = BenchNet(spatial_shape, dtype=dtype, pool_bounds=bounds)
+    brick_bounds = None
+    if algo == "block":
+        def brick_fn():
+            x32 = make_bench_input(voxels, coors, spatial_shape,
+                                   dtype=jnp.float32)
+            return measure_block_bounds(spatial_shape, x32)
 
-    # Device-time measurement: REP chained iterations inside ONE jitted
-    # program (per-dispatch tunnel overhead on this platform is ~30 ms and
-    # block_until_ready is unreliable, so external loops mis-measure; an
-    # input data dependency per iteration prevents loop-invariant hoisting).
+        brick_bounds = _cached_bounds(
+            f".bench_block_bounds{'_large' if large else ''}.json", brick_fn)
+    print(f"[{tag}] pool bounds {pool_bounds} brick bounds {brick_bounds}",
+          file=sys.stderr, flush=True)
+
+    net = BenchNet(spatial_shape, dtype=dtype, pool_bounds=pool_bounds,
+                   algo=algo if algo == "block" else None,
+                   brick_bounds=brick_bounds)
+
     REP = 10
 
     @jax.jit
@@ -72,29 +113,23 @@ def main():
 
         return jax.lax.fori_loop(0, REP, body, jnp.float32(0))
 
-    @jax.jit
-    def fwd_once(m, feats, inds):
-        t = spconv_tpu.SparseConvTensor(feats, inds, spatial_shape, 1)
-        return jnp.sum(m(t).features.astype(jnp.float32))
-
-    # sync floor
-    tiny = jax.jit(lambda s: s + 1.0)
-    float(tiny(0.0))
-    t0 = time.time()
-    for _ in range(5):
-        float(tiny(0.0))
-    floor_ms = (time.time() - t0) / 5 * 1000
-
     t0 = time.time()
     float(fwd_rep(net, x.features, x.indices))
-    print(f"compile+first run: {time.time() - t0:.1f}s", file=sys.stderr)
+    print(f"[{tag}] fwd compile+first: {time.time() - t0:.1f}s",
+          file=sys.stderr, flush=True)
 
     n_outer = 3
     t0 = time.time()
     for _ in range(n_outer):
         float(fwd_rep(net, x.features, x.indices))
-    total_ms = (time.time() - t0) / n_outer * 1000
-    ms = (total_ms - floor_ms) / REP
+    fwd_ms = ((time.time() - t0) / n_outer * 1000 - floor_ms) / REP
+
+    base_fwd = 19.85 if large else 13.02
+    _emit(
+        f"bench_{tag} bf16 forward ms ({'900k' if large else '120k'}-voxel "
+        f"scan, ref net, algo={algo})",
+        fwd_ms, base_fwd, primary=not large,
+    )
 
     if do_bwd:
         @jax.jit
@@ -115,27 +150,82 @@ def main():
 
         t0 = time.time()
         float(bwd_rep(net, x.features, x.indices))
-        print(f"bwd compile: {time.time() - t0:.1f}s", file=sys.stderr)
+        print(f"[{tag}] bwd compile: {time.time() - t0:.1f}s",
+              file=sys.stderr, flush=True)
         t0 = time.time()
         for _ in range(n_outer):
             float(bwd_rep(net, x.features, x.indices))
-        bwd_ms = ((time.time() - t0) / n_outer * 1000 - floor_ms) / REP - ms
-        base_bwd = 31.24 if large else 12.43  # A100 f16 bwd
-        print(json.dumps({
-            "metric": "bench bf16 backward ms",
-            "value": round(bwd_ms, 3),
-            "vs_baseline": round(base_bwd / max(bwd_ms, 1e-9), 3),
-        }), file=sys.stderr)
+        total_ms = ((time.time() - t0) / n_outer * 1000 - floor_ms) / REP
+        bwd_ms = total_ms - fwd_ms  # fwd+bwd step minus fwd
+        base_bwd = 31.24 if large else 12.43
+        _emit(f"bench_{tag} bf16 backward ms (algo={algo})", bwd_ms, base_bwd)
 
-    baseline_ms = 19.85 if large else 13.02  # A100 f16 fwd, BENCHMARK.md
-    scan = "900k" if large else "120k"
-    print(json.dumps({
-        "metric": f"bench_{'large' if large else 'basic'} bf16 forward ms "
-                  f"({scan}-voxel scan, ref net)",
-        "value": round(ms, 3),
-        "unit": "ms",
-        "vs_baseline": round(baseline_ms / ms, 3),
-    }))
+    return fwd_ms
+
+
+def run_centerpoint(algo, floor_ms):
+    import jax
+    import jax.numpy as jnp
+
+    from spconv_tpu.benchmark.centerpoint import (
+        build_calibrated_encoder, load_centerpoint_input)
+
+    x, nv = load_centerpoint_input()
+    print(f"[cp] {nv} voxels, grid {x.spatial_shape}", file=sys.stderr,
+          flush=True)
+    net = build_calibrated_encoder(x)
+
+    REP = 5
+    shape = x.spatial_shape
+
+    @jax.jit
+    def rep(m, feats, inds):
+        import spconv_tpu
+
+        def body(i, c):
+            f = feats * (1.0 + 0.0 * c).astype(feats.dtype)
+            t = spconv_tpu.SparseConvTensor(f, inds, shape, 1)
+            return jnp.sum(m.bev(t).astype(jnp.float32))
+
+        return jax.lax.fori_loop(0, REP, body, jnp.float32(0))
+
+    t0 = time.time()
+    float(rep(net, x.features, x.indices))
+    print(f"[cp] compile+first: {time.time() - t0:.1f}s", file=sys.stderr,
+          flush=True)
+    n_outer = 3
+    t0 = time.time()
+    for _ in range(n_outer):
+        float(rep(net, x.features, x.indices))
+    ms = ((time.time() - t0) / n_outer * 1000 - floor_ms) / REP
+    _emit("CenterPoint encoder bf16 forward ms/scan (north star ≤5 ms)",
+          ms, 5.0)
+    return ms
+
+
+def main():
+    import jax
+
+    algo = "block"
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--algo="):
+            algo = a.split("=", 1)[1]
+        elif a.startswith("--only="):
+            only = a.split("=", 1)[1]
+        elif a == "--large":  # legacy flag
+            only = "large"
+    do_bwd = "--skip-bwd" not in sys.argv
+
+    floor_ms = _sync_floor(jax)
+    print(f"sync floor {floor_ms:.1f} ms", file=sys.stderr, flush=True)
+
+    if only in (None, "basic"):
+        run_bench_net(False, algo, do_bwd, floor_ms)
+    if only in (None, "large"):
+        run_bench_net(True, algo, do_bwd, floor_ms)
+    if only in (None, "cp"):
+        run_centerpoint(algo, floor_ms)
 
 
 if __name__ == "__main__":

@@ -36,21 +36,39 @@ def _round_bucket(n: int, mult: int = 1024) -> int:
 
 
 class BenchNet(spconv_tpu.Module):
-    """The reference benchmark net with per-stage static buffer buckets."""
+    """The reference benchmark net with per-stage static buffer buckets.
+
+    ``algo="block"`` runs the whole net on the block-dense (brick) path:
+    the input is packed once, pools repack at half resolution, every conv
+    is a dense MXU conv with halo exchange (``ops/brick.py``).
+    ``brick_bounds`` are the per-stage static brick counts (7 entries:
+    input + after each pool), measured by :func:`measure_block_bounds`.
+    """
 
     def __init__(self, shape: Sequence[int], dtype=jnp.float32,
-                 pool_bounds: Optional[List[int]] = None, key=None):
+                 pool_bounds: Optional[List[int]] = None,
+                 algo: Optional[str] = None,
+                 brick_bounds: Optional[List[int]] = None,
+                 brick_shape=(2, 2, 2),
+                 key=None):
         key = key if key is not None else jax.random.PRNGKey(0)
         ks = jax.random.split(key, 16)
         chans = [3, 64, 64, 96, 96, 128, 128, 160, 160, 192, 192, 224, 224,
                  256, 256]
         self.shape = tuple(int(s) for s in shape)
+        self.algo = algo
+        self.brick_bounds = tuple(brick_bounds) if brick_bounds else None
+        self.brick_shape = tuple(brick_shape)
         convs = []
         for i in range(14):
+            bb = None
+            if self.brick_bounds and i == 0:
+                bb = self.brick_bounds[0]
             convs.append(
                 spconv_tpu.SubMConv3d(
                     chans[i], chans[i + 1], 3, bias=False,
                     indice_key=f"c{i // 2}", dtype=dtype, key=ks[i],
+                    algo=algo, brick_shape=self.brick_shape, brick_bound=bb,
                 )
             )
         self.convs = convs
@@ -58,9 +76,11 @@ class BenchNet(spconv_tpu.Module):
         pools = []
         for i in range(6):
             ob = self.pool_bounds[i] if self.pool_bounds else None
+            bb = self.brick_bounds[i + 1] if self.brick_bounds else None
             pools.append(
                 spconv_tpu.SparseMaxPool3d(2, 2, out_bound=ob,
-                                           out_bound_ratio=1.0)
+                                           out_bound_ratio=1.0,
+                                           brick_bound=bb)
             )
         self.pools = pools
 
@@ -121,6 +141,30 @@ def make_bench_input(voxels, coors, spatial_shape, dtype=jnp.float32,
     return SparseConvTensor(
         jnp.asarray(feats, dtype=dtype), jnp.asarray(inds), spatial_shape, 1
     )
+
+
+def measure_block_bounds(shape, x: SparseConvTensor,
+                         brick_shape=(2, 2, 2)) -> List[int]:
+    """One eager block-mode pass to size per-stage brick tables (7 entries:
+    input packing + after each of the 6 pools), 5% margin, 128-aligned."""
+    from spconv_tpu.ops import brick as B
+
+    def bound_of(t):
+        meta = B.find_brick_meta(t)
+        nb = int(meta.num_bricks)
+        return max(128, -(-int(nb * 1.05) // 128) * 128)
+
+    net = BenchNet(shape, algo="block", brick_shape=brick_shape)
+    bounds = []
+    c, p = net.convs, net.pools
+    for stage in range(6):
+        x = c[2 * stage](x)
+        if stage == 0:
+            bounds.append(bound_of(x))
+        x = c[2 * stage + 1](x)
+        x = p[stage](x)
+        bounds.append(bound_of(x))
+    return bounds
 
 
 def measure_pool_bounds(shape, x: SparseConvTensor) -> List[int]:

@@ -95,9 +95,13 @@ class IndiceData(_PytreeRecord):
     * ``out_indices``: ``[N_out, ndim+1]`` output coordinates (−1 pad).
     * ``indices``: the layer's input coordinates (for inverse conv).
     * ``num_out``: device scalar — number of active output sites.
+    * ``num_in``: device scalar — number of active input sites (the
+      inverse conv's output count, ``spconv/pytorch/conv.py:348-363``).
     """
 
-    _leaf_fields = ("pair_fwd", "pair_bwd", "out_indices", "indices", "num_out")
+    _leaf_fields = (
+        "pair_fwd", "pair_bwd", "out_indices", "indices", "num_out", "num_in"
+    )
     _static_fields = (
         "is_subm",
         "spatial_shape",
@@ -116,6 +120,7 @@ class IndiceData(_PytreeRecord):
         out_indices: jax.Array,
         indices: jax.Array,
         num_out: jax.Array,
+        num_in: Optional[jax.Array] = None,
         *,
         is_subm: bool,
         spatial_shape: Tuple[int, ...],
@@ -131,6 +136,9 @@ class IndiceData(_PytreeRecord):
         self.out_indices = out_indices
         self.indices = indices
         self.num_out = num_out
+        if num_in is None:
+            num_in = jnp.sum((indices[:, 0] >= 0).astype(jnp.int32))
+        self.num_in = num_in
         self.is_subm = is_subm
         self.spatial_shape = tuple(spatial_shape)
         self.out_spatial_shape = tuple(out_spatial_shape)
@@ -260,7 +268,7 @@ class SparseConvTensor:
         from .ops import coords as C
 
         keys, _ = C.linearize(self.indices, self.spatial_shape, self.batch_size)
-        order = jnp.argsort(keys)
+        order = C.argsort_keys(keys)
         feats = jnp.take(self.features, order, axis=0)
         inds = jnp.take(self.indices, order, axis=0)
         return SparseConvTensor(

@@ -51,15 +51,15 @@ def sparse_add(
     all_feats = jnp.concatenate([t.features for t in tens], axis=0)
     all_inds = jnp.concatenate([t.indices for t in tens], axis=0)
 
-    order = jnp.argsort(all_keys)
+    order = C.argsort_keys(all_keys)
     sk = all_keys[order]
-    not_sent = sk != sentinel
-    is_first = jnp.concatenate([not_sent[:1], (sk[1:] != sk[:-1]) & not_sent[1:]])
+    not_sent = ~C.is_sentinel(sk, sentinel)
+    is_first = jnp.concatenate([not_sent[:1], C.adj_differ(sk) & not_sent[1:]])
     uniq_pos = jnp.cumsum(is_first.astype(jnp.int32)) - 1
     num_out = jnp.minimum(jnp.sum(is_first.astype(jnp.int32)), out_bound)
 
     pos_of = jnp.zeros((total,), jnp.int32).at[order].set(uniq_pos)
-    valid = (all_keys != sentinel) & (pos_of < out_bound)
+    valid = ~C.is_sentinel(all_keys, sentinel) & (pos_of < out_bound)
     scatter_pos = jnp.where(valid, pos_of, out_bound)
 
     out_feats = jnp.zeros((out_bound, first.features.shape[1]), first.features.dtype)

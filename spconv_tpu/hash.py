@@ -17,7 +17,11 @@ import numpy as np
 
 __all__ = ["HashTable"]
 
-_EMPTY = np.iinfo(np.int32).max
+
+def _empty_for(key_dtype):
+    """Empty-slot sentinel: max value of the key dtype (must sort after
+    every live key so the sorted-prefix invariant holds)."""
+    return np.iinfo(np.dtype(key_dtype)).max
 
 
 class HashTable:
@@ -35,8 +39,17 @@ class HashTable:
         self.max_size = max_size
         self.key_dtype = key_dtype
         self.value_dtype = value_dtype
+        if (
+            np.dtype(key_dtype).itemsize > 4
+            and not jax.config.jax_enable_x64
+        ):
+            raise ValueError(
+                "int64-key HashTable requires jax_enable_x64 (keys would "
+                "silently truncate to 32 bits otherwise)"
+            )
+        self._empty = _empty_for(key_dtype)
         if _keys is None:
-            _keys = jnp.full((max_size,), _EMPTY, key_dtype)
+            _keys = jnp.full((max_size,), self._empty, key_dtype)
             _values = jnp.zeros((max_size,), value_dtype)
         self.keys = _keys
         self.values = _values
@@ -58,10 +71,10 @@ class HashTable:
         order = jnp.argsort(all_keys, stable=True)
         sk, sv = all_keys[order], all_vals[order]
         keep = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
-        keep = keep & (sk != _EMPTY)
+        keep = keep & (sk != self._empty)
         pos = jnp.where(keep, jnp.cumsum(keep.astype(jnp.int32)) - 1,
                         self.max_size)
-        nk = jnp.full((self.max_size,), _EMPTY, self.key_dtype)
+        nk = jnp.full((self.max_size,), self._empty, self.key_dtype)
         nv = jnp.zeros((self.max_size,), self.value_dtype)
         nk = nk.at[pos].set(sk, mode="drop")
         nv = nv.at[pos].set(sv, mode="drop")
@@ -90,7 +103,7 @@ class HashTable:
     def assign_arange_(self) -> Tuple["HashTable", jax.Array]:
         """Assign 0..n-1 to live slots in key order; returns (table, count)
         (parity: ``hash.py:assign_arange_``)."""
-        live = self.keys != _EMPTY
+        live = self.keys != self._empty
         ar = jnp.cumsum(live.astype(self.value_dtype)) - 1
         nv = jnp.where(live, ar, self.values)
         cnt = jnp.sum(live.astype(jnp.int32))
@@ -98,7 +111,7 @@ class HashTable:
 
     def items(self) -> Tuple[jax.Array, jax.Array, jax.Array]:
         """Returns (keys, values, count); live entries occupy the prefix."""
-        live = self.keys != _EMPTY
+        live = self.keys != self._empty
         cnt = jnp.sum(live.astype(jnp.int32))
         return self.keys, self.values, cnt
 

@@ -75,6 +75,8 @@ class SparseConvolution(Module):
         act_type: str = "none",
         act_alpha: float = 0.0,
         act_beta: float = 0.0,
+        brick_shape: Optional[Sequence[int]] = None,
+        brick_bound: Optional[int] = None,
         dtype=jnp.float32,
         key=None,
         name: Optional[str] = None,
@@ -107,6 +109,8 @@ class SparseConvolution(Module):
         self.act_type = act_type
         self.act_alpha = act_alpha
         self.act_beta = act_beta
+        self.brick_shape = tuple(brick_shape) if brick_shape else None
+        self.brick_bound = brick_bound
         self.name = name
         if subm:
             assert all(k % 2 == 1 for k in self.kernel_size), \
@@ -175,15 +179,34 @@ class SparseConvolution(Module):
             out.features = out_feat
             return out
 
+        if (
+            self.subm
+            and self.algo == "block"
+            and 1 <= self.ndim <= 3
+        ):
+            return self._call_block(input, add_input)
+
         if self.inverse:
             data = input.find_indice_pair(self.indice_key)
             assert data is not None, (
                 f"SparseInverseConv requires a cached rulebook under "
                 f"indice_key={self.indice_key!r}"
             )
+            # parity: _check_inverse_reuse_valid (conv.py:542-560) also
+            # validates spatial shape and buffer N, not just ksize
             assert not data.is_subm and tuple(data.ksize) == self.kernel_size, (
                 "inverse conv must reuse a non-subm rulebook with the same "
                 f"kernel size, got {data.ksize} vs {self.kernel_size}"
+            )
+            assert tuple(data.out_spatial_shape) == tuple(spatial_shape), (
+                f"inverse conv under indice_key={self.indice_key!r}: input "
+                f"spatial shape {tuple(spatial_shape)} != encoder output "
+                f"shape {tuple(data.out_spatial_shape)}"
+            )
+            assert data.pair_fwd.shape[1] == indices.shape[0], (
+                f"inverse conv under indice_key={self.indice_key!r}: input "
+                f"buffer N={indices.shape[0]} != encoder output buffer "
+                f"N={data.pair_fwd.shape[1]}"
             )
             # structural inverse: swap pair roles; outputs are the encoder's
             # inputs (conv.py:348-363, docs/USAGE.md:124-146)
@@ -195,9 +218,20 @@ class SparseConvolution(Module):
         elif self.subm:
             data = input.find_indice_pair(self.indice_key)
             if data is not None:
+                # parity: _check_subm_reuse_valid (conv.py:525-540)
                 assert data.is_subm and tuple(data.ksize) == self.kernel_size, (
                     f"subm rulebook reuse mismatch under key "
                     f"{self.indice_key!r}: {data.ksize} vs {self.kernel_size}"
+                )
+                assert tuple(data.dilation) == self.dilation, (
+                    f"subm rulebook reuse mismatch under key "
+                    f"{self.indice_key!r}: dilation {data.dilation} vs "
+                    f"{self.dilation}"
+                )
+                assert tuple(data.spatial_shape) == tuple(spatial_shape), (
+                    f"subm rulebook reuse mismatch under key "
+                    f"{self.indice_key!r}: spatial shape "
+                    f"{data.spatial_shape} vs {tuple(spatial_shape)}"
                 )
                 new_data = None
             else:
@@ -216,6 +250,31 @@ class SparseConvolution(Module):
         else:
             data = input.find_indice_pair(self.indice_key)
             if data is not None and not data.is_subm:
+                # a regular conv may only reuse a rulebook built with
+                # identical geometry — a key collision between two strided
+                # layers would otherwise compute silently wrong outputs
+                # (the reference forbids non-subm reuse outright except for
+                # inverse; we allow it only on an exact match)
+                if (
+                    tuple(data.ksize) != self.kernel_size
+                    or tuple(data.stride) != self.stride
+                    or tuple(data.padding) != self.padding
+                    or tuple(data.dilation) != self.dilation
+                    or bool(data.transposed) != bool(self.transposed)
+                    or tuple(data.spatial_shape) != tuple(spatial_shape)
+                ):
+                    raise ValueError(
+                        f"rulebook reuse mismatch under indice_key="
+                        f"{self.indice_key!r}: cached (ksize={data.ksize}, "
+                        f"stride={data.stride}, padding={data.padding}, "
+                        f"dilation={data.dilation}, "
+                        f"transposed={data.transposed}, "
+                        f"spatial={data.spatial_shape}) vs layer "
+                        f"(ksize={self.kernel_size}, stride={self.stride}, "
+                        f"padding={self.padding}, dilation={self.dilation}, "
+                        f"transposed={self.transposed}, "
+                        f"spatial={tuple(spatial_shape)})"
+                    )
                 new_data = None
             else:
                 data = build_conv_rulebook(
@@ -255,17 +314,66 @@ class SparseConvolution(Module):
         )
         out_feat = jnp.where(out_valid[:, None], out_feat, 0)
 
+        if is_subm:
+            out_num_voxels = input.num_voxels
+        elif self.inverse:
+            # the inverse conv outputs the encoder's INPUT sites, so the
+            # count is num_in, not num_out (ADVICE r1: num_out here was the
+            # inverse conv's own input count)
+            out_num_voxels = data.num_in
+        else:
+            out_num_voxels = data.num_out
         out = SparseConvTensor(
             out_feat,
             out_indices,
             out_spatial_shape,
             batch_size,
-            num_voxels=data.num_out if not is_subm else input.num_voxels,
+            num_voxels=out_num_voxels,
             indice_dict=dict(input.indice_dict),
             benchmark=input.benchmark,
         )
         if new_data is not None and self.indice_key is not None:
             out.indice_dict[self.indice_key] = new_data
+        return out
+
+    def _call_block(
+        self,
+        input: SparseConvTensor,
+        add_input: Optional[SparseConvTensor] = None,
+    ) -> SparseConvTensor:
+        """Block-dense submanifold path (see ``ops/brick.py``): pack the
+        stage into bricks once, then run dense MXU convs with halo
+        exchange — no per-row gathers."""
+        from ..ops import brick as B
+
+        x = input
+        meta = B.find_brick_meta(x)
+        if meta is None:
+            x = B.pack_tensor(
+                input,
+                brick_shape=self.brick_shape,
+                nb_bound=self.brick_bound,
+            )
+            meta = B.find_brick_meta(x)
+        active = x.indices[:, 0] >= 0
+        out_feat = B.brick_subm_conv(
+            x.features, active, meta, self.weight, self.dilation,
+            fp32_accum=self.fp32_accum,
+        )
+        out_feat = bias_add_act(
+            out_feat, self.bias, self.act_type, self.act_alpha, self.act_beta,
+            add_input.features if add_input is not None else None,
+        )
+        out_feat = jnp.where(active[:, None], out_feat, 0)
+        out = SparseConvTensor(
+            out_feat,
+            x.indices,
+            x.spatial_shape,
+            x.batch_size,
+            num_voxels=x.num_voxels,
+            indice_dict=dict(x.indice_dict),
+            benchmark=x.benchmark,
+        )
         return out
 
     def __repr__(self):
@@ -288,7 +396,8 @@ def _make_variant(n, *, subm=False, transposed=False, inverse=False):
         stride=1, padding=0, dilation=1, groups=1, bias=True,
         indice_key=None, algo=None, fp32_accum=None, output_padding=0,
         out_bound=None, out_bound_ratio=2.0, act_type="none", act_alpha=0.0,
-        act_beta=0.0, dtype=jnp.float32, key=None, name=None,
+        act_beta=0.0, brick_shape=None, brick_bound=None, dtype=jnp.float32,
+        key=None, name=None,
     ):
         if inverse:
             assert indice_key is not None, "inverse conv requires indice_key"
@@ -299,7 +408,8 @@ def _make_variant(n, *, subm=False, transposed=False, inverse=False):
             transposed=transposed, inverse=inverse, indice_key=indice_key,
             algo=algo, fp32_accum=fp32_accum, out_bound=out_bound,
             out_bound_ratio=out_bound_ratio, act_type=act_type,
-            act_alpha=act_alpha, act_beta=act_beta, dtype=dtype, key=key,
+            act_alpha=act_alpha, act_beta=act_beta, brick_shape=brick_shape,
+            brick_bound=brick_bound, dtype=dtype, key=key,
             name=name,
         )
 

@@ -39,6 +39,26 @@ class SparseModule(Module):
     name: Optional[str] = None
 
 
+_TRAINING_AWARE: dict = {}
+
+
+def _accepts_training(layer) -> bool:
+    """True when ``layer.__call__`` takes a ``training`` keyword (cached
+    per type; resolved at trace time, so jit-compatible)."""
+    cls = type(layer)
+    hit = _TRAINING_AWARE.get(cls)
+    if hit is None:
+        import inspect
+
+        try:
+            sig = inspect.signature(cls.__call__)
+            hit = "training" in sig.parameters
+        except (TypeError, ValueError):
+            hit = False
+        _TRAINING_AWARE[cls] = hit
+    return hit
+
+
 def _apply_featurewise(x, fn: Callable):
     if isinstance(x, SparseConvTensor):
         out = fn(x.features)
@@ -87,11 +107,16 @@ class SparseSequential(SparseModule):
         new._names = (*self._names, name)
         return new
 
-    def __call__(self, x):
+    def __call__(self, x, training: bool = False):
         # every layer is a Module (bare callables were wrapped in Lambda);
         # feature-wise modules apply themselves to .features internally.
+        # ``training`` is forwarded to layers that accept it (BN batch-stats
+        # mode, nested Sequentials, QAT modules).
         for layer in self.layers:
-            x = layer(x)
+            if _accepts_training(layer):
+                x = layer(x, training=training)
+            else:
+                x = layer(x)
         return x
 
 
@@ -147,10 +172,11 @@ class BatchNorm1d(Module):
 
     _consumes_sparse = True
 
-    def __init__(self, num_features: int, eps: float = 1e-3,
-                 momentum: float = 0.01, affine: bool = True,
+    def __init__(self, num_features: int, eps: float = 1e-5,
+                 momentum: float = 0.1, affine: bool = True,
                  axis_name: Optional[str] = None, dtype=jnp.float32,
                  name=None):
+        # defaults match torch.nn.BatchNorm1d (the reference subclasses it)
         self.num_features = num_features
         self.eps = eps
         self.momentum = momentum
@@ -223,8 +249,8 @@ class SparseSyncBatchNorm(BatchNorm1d):
     ``shard_map``/``pmap`` (parity: ``modules.py:162`` which wraps torch
     SyncBatchNorm; here sync is native XLA collectives over ICI)."""
 
-    def __init__(self, num_features: int, eps: float = 1e-3,
-                 momentum: float = 0.01, affine: bool = True,
+    def __init__(self, num_features: int, eps: float = 1e-5,
+                 momentum: float = 0.1, affine: bool = True,
                  axis_name: str = "dp", dtype=jnp.float32, name=None):
         super().__init__(num_features, eps, momentum, affine, axis_name,
                          dtype, name)

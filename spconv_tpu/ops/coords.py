@@ -25,11 +25,26 @@ __all__ = [
     "linearize",
     "delinearize",
     "key_dtype_for",
+    "use_pair_keys",
+    "argsort_keys",
+    "adj_differ",
+    "is_sentinel",
+    "full_sentinel",
     "out_coords_all_offsets",
     "subm_padding",
 ]
 
 INT32_MAX = np.iinfo(np.int32).max
+
+# Grids whose batch*volume exceeds this use two-word (hi, lo) int32 keys.
+# The reference switches to int64 hash keys at the same point
+# (``spconv/pytorch/ops.py:188-190``); JAX disables x64 by default, so a
+# single int64 word would silently truncate to 32 bits — instead big keys
+# are a ``[N, 2]`` int32 pair sorted lexicographically.  Module-level so
+# tests can lower it to force the pair path on small grids.
+_KEY32_LIMIT = INT32_MAX
+# Max product of trailing spatial dims packed into the low word.
+_LO_LIMIT = 2 ** 30
 
 
 def get_conv_output_size(
@@ -93,9 +108,36 @@ def kernel_offsets(ksize: Sequence[int]) -> np.ndarray:
 
 def key_dtype_for(spatial_shape: Sequence[int], batch_size: int):
     """int32 keys unless batch*volume overflows (parity: the int64-hash-key
-    switch at ``ops.py:188-190``)."""
+    switch at ``ops.py:188-190``).  When it overflows, :func:`linearize`
+    actually emits two-word int32 pair keys (see :func:`use_pair_keys`);
+    this function is kept for API parity and reports the *logical* width."""
     vol = int(np.prod([int(s) for s in spatial_shape])) * int(batch_size)
-    return jnp.int64 if vol >= INT32_MAX else jnp.int32
+    return jnp.int64 if vol >= _KEY32_LIMIT else jnp.int32
+
+
+def use_pair_keys(spatial_shape: Sequence[int], batch_size: int) -> bool:
+    """True when coordinates need two-word (hi, lo) int32 keys."""
+    vol = int(np.prod([int(s) for s in spatial_shape])) * int(batch_size)
+    return vol >= _KEY32_LIMIT
+
+
+def _split_dims(shape: Sequence[int], batch_size: int) -> Tuple[int, int, int]:
+    """Split spatial dims for two-word keys: trailing dims whose product
+    stays under ``_LO_LIMIT`` go to the low word, the rest (with batch) to
+    the high word.  Returns (cut, lo_prod, hi_prod)."""
+    shape = [int(s) for s in shape]
+    lo = 1
+    cut = len(shape)
+    while cut > 0 and lo * shape[cut - 1] < _LO_LIMIT:
+        lo *= shape[cut - 1]
+        cut -= 1
+    hi = int(batch_size) * int(np.prod(shape[:cut], dtype=np.int64))
+    if hi >= INT32_MAX:
+        raise NotImplementedError(
+            f"grid batch*{tuple(shape)} exceeds two-word int32 key capacity "
+            f"(~2^61 sites)"
+        )
+    return cut, lo, hi
 
 
 def linearize(
@@ -104,27 +146,87 @@ def linearize(
     batch_size: int,
     valid: jax.Array | None = None,
 ):
-    """Linearize ``[N, ndim+1]`` (batch-first) coords to sortable scalar keys.
+    """Linearize ``[N, ndim+1]`` (batch-first) coords to sortable keys.
 
-    Invalid rows map to the sentinel ``volume * batch_size`` (sorts last).
+    Invalid rows map to a sentinel that sorts after every valid key.
     Parity: ``LayoutNPQ`` linearization in ``indices.py:104-110``.
-    Returns (keys [N], sentinel value).
+
+    Small grids (batch*volume < 2^31): returns (``[N]`` int32 keys,
+    scalar sentinel).  Huge grids: returns (``[N, 2]`` int32 (hi, lo)
+    pair keys, ``[2]`` sentinel) — compare/sort them only through
+    :func:`argsort_keys` / :func:`adj_differ` / :func:`is_sentinel`.
     """
     shape = [int(s) for s in spatial_shape]
-    kdt = key_dtype_for(shape, batch_size)
     if valid is None:
         valid = indices[:, 0] >= 0
-    key = indices[:, 0].astype(kdt)
-    for i, s in enumerate(shape):
-        key = key * s + indices[:, i + 1].astype(kdt)
-    sentinel = np.array(int(np.prod(shape)) * int(batch_size), dtype=kdt)
-    key = jnp.where(valid, key, sentinel)
+    if not use_pair_keys(shape, batch_size):
+        key = indices[:, 0].astype(jnp.int32)
+        for i, s in enumerate(shape):
+            key = key * s + indices[:, i + 1].astype(jnp.int32)
+        sentinel = np.array(int(np.prod(shape)) * int(batch_size), jnp.int32)
+        key = jnp.where(valid, key, sentinel)
+        return key, sentinel
+    cut, _lo_prod, hi_prod = _split_dims(shape, batch_size)
+    hi = indices[:, 0].astype(jnp.int32)
+    for i in range(cut):
+        hi = hi * shape[i] + indices[:, i + 1].astype(jnp.int32)
+    lo = jnp.zeros(indices.shape[:1], jnp.int32)
+    for i in range(cut, len(shape)):
+        lo = lo * shape[i] + indices[:, i + 1].astype(jnp.int32)
+    key = jnp.stack([hi, lo], axis=-1)
+    sentinel = jnp.asarray([hi_prod, 0], jnp.int32)
+    key = jnp.where(valid[:, None], key, sentinel)
     return key, sentinel
+
+
+def argsort_keys(keys: jax.Array, stable: bool = False) -> jax.Array:
+    """argsort for either key layout.  Pair keys sort lexicographically via
+    two stable argsorts (sort by lo, then stable-sort by hi)."""
+    if keys.ndim == 1:
+        return jnp.argsort(keys, stable=stable)
+    o1 = jnp.argsort(keys[:, 1], stable=True)
+    o2 = jnp.argsort(keys[o1, 0], stable=True)
+    return o1[o2]
+
+
+def adj_differ(sk: jax.Array) -> jax.Array:
+    """``sk[1:] != sk[:-1]`` for either key layout (``[N-1]`` bool)."""
+    if sk.ndim == 1:
+        return sk[1:] != sk[:-1]
+    return jnp.any(sk[1:] != sk[:-1], axis=-1)
+
+
+def is_sentinel(sk: jax.Array, sentinel) -> jax.Array:
+    """Elementwise key == sentinel for either layout (``[N]`` bool)."""
+    if sk.ndim == 1:
+        return sk == sentinel
+    return jnp.all(sk == sentinel[None, :], axis=-1)
+
+
+def full_sentinel(n: int, sentinel) -> jax.Array:
+    """``[n]`` (or ``[n, 2]``) buffer filled with the sentinel key."""
+    if np.ndim(sentinel) == 0:
+        return jnp.full((n,), sentinel)
+    return jnp.tile(jnp.asarray(sentinel)[None, :], (n, 1))
 
 
 def delinearize(keys: jax.Array, spatial_shape: Sequence[int], valid: jax.Array):
     """Inverse of :func:`linearize` → ``[N, ndim+1]`` int32, −1 for invalid."""
     shape = [int(s) for s in spatial_shape]
+    if keys.ndim == 2:
+        cut, _, _ = _split_dims(shape, 1)
+        coords = []
+        rem = keys[:, 1]
+        for s in reversed(shape[cut:]):
+            coords.append(rem % s)
+            rem = rem // s
+        rem = keys[:, 0]
+        for s in reversed(shape[:cut]):
+            coords.append(rem % s)
+            rem = rem // s
+        coords.append(rem)
+        out = jnp.stack(list(reversed(coords)), axis=-1).astype(jnp.int32)
+        return jnp.where(valid[:, None], out, -1)
     coords = []
     rem = keys
     for s in reversed(shape):

@@ -69,23 +69,20 @@ def point_to_voxel(
     )
     vox_zyx = vox_xyz[:, ::-1]
 
-    # linearize ZYX
-    key = jnp.zeros((n,), jnp.int32)
-    for i, g in enumerate(grid_zyx):
-        key = key * g + vox_zyx[:, i]
-    sentinel = np.int64(np.prod(grid_zyx))
-    if sentinel >= np.iinfo(np.int32).max:
-        # fall back to int64 keys for huge grids (reference switches the
-        # hash key width the same way)
-        key = jnp.zeros((n,), jnp.int64)
-        for i, g in enumerate(grid_zyx):
-            key = key * g + vox_zyx[:, i].astype(jnp.int64)
-    key = jnp.where(in_range, key, jnp.asarray(sentinel, key.dtype))
+    # linearize ZYX; huge grids get two-word int32 keys (the reference
+    # switches to an int64 hash key the same way — a bare int64 here would
+    # silently truncate under JAX's default x64-off config)
+    from . import coords as C
 
-    order = jnp.argsort(key, stable=True)  # stable → first-come point order
+    pseudo = jnp.concatenate(
+        [jnp.zeros((n, 1), jnp.int32), vox_zyx], axis=-1
+    )
+    key, sentinel = C.linearize(pseudo, grid_zyx, 1, in_range)
+
+    order = C.argsort_keys(key, stable=True)  # stable → first-come order
     sk = key[order]
-    not_sent = sk != sentinel
-    is_first = jnp.concatenate([not_sent[:1], (sk[1:] != sk[:-1]) & not_sent[1:]])
+    not_sent = ~C.is_sentinel(sk, sentinel)
+    is_first = jnp.concatenate([not_sent[:1], C.adj_differ(sk) & not_sent[1:]])
     vid_sorted = jnp.cumsum(is_first.astype(jnp.int32)) - 1
     num_voxels_total = jnp.sum(is_first.astype(jnp.int32))
 

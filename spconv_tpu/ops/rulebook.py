@@ -60,15 +60,15 @@ def _join_lookup(table_keys: jax.Array, queries: jax.Array, sentinel) -> jax.Arr
     t = table_keys.shape[0]
     q = queries.shape[0]
     allk = jnp.concatenate([table_keys, queries])
-    order = jnp.argsort(allk, stable=True)
+    order = C.argsort_keys(allk, stable=True)
     sk = allk[order]
     pos = jnp.arange(t + q, dtype=jnp.int32)
-    boundary = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
+    boundary = jnp.concatenate([jnp.ones((1,), bool), C.adj_differ(sk)])
     group_start = jax.lax.cummax(jnp.where(boundary, pos, 0))
     first_elem = order[group_start]
     is_table_first = first_elem < t
     matched = jnp.where(is_table_first, first_elem, -1)
-    matched = jnp.where(sk != sentinel, matched, -1)
+    matched = jnp.where(~C.is_sentinel(sk, sentinel), matched, -1)
     # scatter back to query order (table positions dropped)
     res = jnp.full((q,), -1, jnp.int32)
     qpos = jnp.where(order >= t, order - t, q)
@@ -226,10 +226,10 @@ def build_conv_rulebook(
         valid.reshape(kv * n),
     )
 
-    order = jnp.argsort(cand_keys)
+    order = C.argsort_keys(cand_keys)
     sk = cand_keys[order]
-    not_sent = sk != sentinel
-    is_first = jnp.concatenate([not_sent[:1], (sk[1:] != sk[:-1]) & not_sent[1:]])
+    not_sent = ~C.is_sentinel(sk, sentinel)
+    is_first = jnp.concatenate([not_sent[:1], C.adj_differ(sk) & not_sent[1:]])
     uniq_pos = jnp.cumsum(is_first.astype(jnp.int32)) - 1  # pos of each cand's key
     num_out_total = jnp.sum(is_first.astype(jnp.int32))
 
@@ -250,9 +250,9 @@ def build_conv_rulebook(
 
     # unique output keys → coordinates (buffer is sorted ascending)
     uniq_scatter = jnp.where(is_first & (uniq_pos < out_bound), uniq_pos, out_bound)
-    out_keys = jnp.full((out_bound,), sentinel, dtype=sk.dtype)
+    out_keys = C.full_sentinel(out_bound, sentinel).astype(sk.dtype)
     out_keys = out_keys.at[uniq_scatter].set(sk, mode="drop")
-    out_valid = out_keys != sentinel
+    out_valid = ~C.is_sentinel(out_keys, sentinel)
     out_indices = C.delinearize(out_keys, out_shape, out_valid)
 
     num_out = jnp.minimum(num_out_total, out_bound)
