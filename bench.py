@@ -173,7 +173,7 @@ def run_centerpoint(algo, floor_ms):
     x, nv = load_centerpoint_input()
     print(f"[cp] {nv} voxels, grid {x.spatial_shape}", file=sys.stderr,
           flush=True)
-    net = build_calibrated_encoder(x)
+    net = build_calibrated_encoder(x, algo=algo if algo == "block" else None)
 
     REP = 5
     shape = x.spatial_shape

@@ -46,8 +46,10 @@ def load_centerpoint_input(dtype=jnp.bfloat16, bucket=1024):
                             shape, 1), nv
 
 
-def build_calibrated_encoder(x: SparseConvTensor, dtype=jnp.bfloat16):
-    net32 = centerpoint_encoder(in_channels=5, bn=False, dtype=jnp.float32)
+def build_calibrated_encoder(x: SparseConvTensor, dtype=jnp.bfloat16,
+                             algo=None):
+    net32 = centerpoint_encoder(in_channels=5, bn=False, dtype=jnp.float32,
+                                algo=algo)
     x32 = x.replace_feature(x.features.astype(jnp.float32))
     net32 = calibrate_out_bounds(net32, lambda m, t: m.bev(t), [x32],
                                  margin=1.15, mult=512)

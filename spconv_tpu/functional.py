@@ -51,8 +51,7 @@ def sparse_add(
     all_feats = jnp.concatenate([t.features for t in tens], axis=0)
     all_inds = jnp.concatenate([t.indices for t in tens], axis=0)
 
-    order = C.argsort_keys(all_keys)
-    sk = all_keys[order]
+    sk, order = C.sort_with_ids(all_keys)
     not_sent = ~C.is_sentinel(sk, sentinel)
     is_first = jnp.concatenate([not_sent[:1], C.adj_differ(sk) & not_sent[1:]])
     uniq_pos = jnp.cumsum(is_first.astype(jnp.int32)) - 1

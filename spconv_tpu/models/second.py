@@ -40,15 +40,15 @@ class SparseBasicBlock(Module):
     """Two subm convs with a residual add (PV-RCNN / CenterPoint block)."""
 
     def __init__(self, channels: int, indice_key: str, bn: bool = True,
-                 dtype=jnp.float32, key=None):
+                 algo=None, dtype=jnp.float32, key=None):
         key = key if key is not None else jax.random.PRNGKey(0)
         k1, k2 = jax.random.split(key)
         self.conv1 = spconv_tpu.SubMConv3d(
             channels, channels, 3, bias=not bn, indice_key=indice_key,
-            dtype=dtype, key=k1)
+            algo=algo, dtype=dtype, key=k1)
         self.conv2 = spconv_tpu.SubMConv3d(
             channels, channels, 3, bias=not bn, indice_key=indice_key,
-            dtype=dtype, key=k2)
+            algo=algo, dtype=dtype, key=k2)
         self.bn1 = spconv_tpu.BatchNorm1d(channels) if bn else None
         self.bn2 = spconv_tpu.BatchNorm1d(channels) if bn else None
 
@@ -83,6 +83,7 @@ class SparseEncoder(Module):
         blocks_per_stage: int = 2,
         out_channels: int = 128,
         bn: bool = True,
+        algo: Optional[str] = None,
         dtype=jnp.float32,
         out_bounds: Optional[Sequence[int]] = None,
         key=None,
@@ -91,9 +92,10 @@ class SparseEncoder(Module):
         keys = jax.random.split(key, 64)
         ki = iter(range(64))
         self.bn = bn
+        self.algo = algo
         self.conv_input = spconv_tpu.SubMConv3d(
             in_channels, base_channels, 3, bias=not bn, indice_key="subm0",
-            dtype=dtype, key=keys[next(ki)])
+            algo=algo, dtype=dtype, key=keys[next(ki)])
         self.bn_input = spconv_tpu.BatchNorm1d(base_channels) if bn else None
 
         stages = []
@@ -108,14 +110,15 @@ class SparseEncoder(Module):
                         prev_c, c, 3, stride=2, padding=1, bias=not bn,
                         indice_key=f"down{si}", dtype=dtype,
                         key=keys[next(ki)], out_bound=ob,
-                        out_bound_ratio=1.5,
+                        out_bound_ratio=1.5, algo=algo,
                     )
                 )
             blocks = []
             for bi in range(blocks_per_stage):
                 blocks.append(
                     SparseBasicBlock(c, indice_key=f"subm{si}", bn=bn,
-                                     dtype=dtype, key=keys[next(ki)])
+                                     algo=algo, dtype=dtype,
+                                     key=keys[next(ki)])
                 )
             stages.append(blocks)
             prev_c = c
@@ -124,7 +127,7 @@ class SparseEncoder(Module):
         self.conv_out = spconv_tpu.SparseConv3d(
             prev_c, out_channels, (3, 1, 1), stride=(2, 1, 1),
             padding=0, bias=not bn, indice_key="out",
-            dtype=dtype, key=keys[next(ki)], out_bound_ratio=1.0)
+            dtype=dtype, key=keys[next(ki)], out_bound_ratio=1.0, algo=algo)
         self.bn_out = spconv_tpu.BatchNorm1d(out_channels) if bn else None
 
     def __call__(self, x: SparseConvTensor, training: bool = False):

@@ -180,9 +180,11 @@ class SparseConvolution(Module):
             return out
 
         if (
-            self.subm
-            and self.algo == "block"
+            self.algo == "block"
             and 1 <= self.ndim <= 3
+            and not self.transposed
+            and not self.inverse
+            and not self.conv1x1
         ):
             return self._call_block(input, add_input)
 
@@ -352,9 +354,31 @@ class SparseConvolution(Module):
             x = B.pack_tensor(
                 input,
                 brick_shape=self.brick_shape,
-                nb_bound=self.brick_bound,
+                # for strided convs brick_bound sizes the OUTPUT table
+                nb_bound=self.brick_bound if self.subm else None,
             )
             meta = B.find_brick_meta(x)
+        if not self.subm:
+            # strided/regular conv: hull-assembled stride GEMM + repack at
+            # the output resolution (ops/brick.py brick_downsample_conv)
+            # for a strided conv, brick_bound sizes the OUTPUT brick table
+            # (like out_bound on the native path)
+            out = B.brick_downsample_conv(
+                x, meta, self.weight, None, self.stride, self.padding,
+                self.dilation, fp32_accum=self.fp32_accum,
+                nb_bound=self.brick_bound,
+            )
+            active = out.indices[:, 0] >= 0
+            out_feat = bias_add_act(
+                out.features, self.bias, self.act_type, self.act_alpha,
+                self.act_beta,
+                add_input.features if add_input is not None else None,
+            )
+            out.features = jnp.where(active[:, None], out_feat, 0)
+            from ..calibrate import _maybe_record
+
+            _maybe_record(self, out.num_voxels)
+            return out
         active = x.indices[:, 0] >= 0
         out_feat = B.brick_subm_conv(
             x.features, active, meta, self.weight, self.dilation,

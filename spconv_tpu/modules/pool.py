@@ -12,7 +12,8 @@ import numpy as np
 from ..core import SparseConvTensor, expand_nd
 from ..module import Module
 from ..ops.pool import global_pool, indice_avgpool, indice_maxpool
-from ..ops.rulebook import build_conv_rulebook, build_subm_rulebook
+from ..ops.rulebook import (build_conv_rulebook, build_pool2_rulebook,
+                             build_subm_rulebook)
 
 __all__ = [
     "SparseMaxPool", "SparseAvgPool",
@@ -101,16 +102,31 @@ class _SparsePoolBase(Module):
         else:
             data = input.find_indice_pair(self.indice_key)
             if data is None or data.is_subm:
-                data = build_conv_rulebook(
-                    input.indices,
-                    spatial_shape=input.spatial_shape,
-                    batch_size=input.batch_size,
-                    ksize=self.kernel_size,
-                    stride=self.stride,
-                    padding=self.padding,
-                    dilation=self.dilation,
-                    out_bound=self._resolve_out_bound(input.indices.shape[0]),
-                )
+                if (
+                    self.kernel_size == (2,) * self.ndim
+                    and self.stride == (2,) * self.ndim
+                    and self.padding == (0,) * self.ndim
+                    and self.dilation == (1,) * self.ndim
+                ):
+                    data = build_pool2_rulebook(
+                        input.indices,
+                        spatial_shape=input.spatial_shape,
+                        batch_size=input.batch_size,
+                        out_bound=self._resolve_out_bound(
+                            input.indices.shape[0]),
+                    )
+                else:
+                    data = build_conv_rulebook(
+                        input.indices,
+                        spatial_shape=input.spatial_shape,
+                        batch_size=input.batch_size,
+                        ksize=self.kernel_size,
+                        stride=self.stride,
+                        padding=self.padding,
+                        dilation=self.dilation,
+                        out_bound=self._resolve_out_bound(
+                            input.indices.shape[0]),
+                    )
             out_indices = data.out_indices
             out_spatial = data.out_spatial_shape
             num_out = data.num_out

@@ -46,6 +46,7 @@ __all__ = [
     "build_bricks",
     "pack_tensor",
     "brick_subm_conv",
+    "brick_downsample_conv",
     "brick_pool",
     "default_brick_shape",
 ]
@@ -162,20 +163,50 @@ def build_bricks(
     bc = jnp.where(valid[:, None], indices[:, 1:] // bshape_arr, -1)
     local = indices[:, 1:] - bc * bshape_arr  # garbage on invalid rows; masked
     pseudo = jnp.concatenate([indices[:, :1], bc], axis=-1)
+
+    meta, row_flat = _dedup_coords_to_meta(
+        pseudo, valid, grid, spatial_shape, batch_size, brick_shape, nb_bound
+    )
+    in_brick = valid & (row_flat >= 0)
+
+    # slot occupancy: voxel_of_slot via conflict-free scatter
+    lflat = jnp.zeros((n,), jnp.int32)
+    for i, b in enumerate(brick_shape):
+        lflat = lflat * b + local[:, i]
+    slot = jnp.where(in_brick, row_flat * bvol + lflat, nb_bound * bvol)
+    voxel_of_slot = jnp.full((nb_bound * bvol,), -1, jnp.int32)
+    voxel_of_slot = voxel_of_slot.at[slot].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop"
+    )
+    return meta, voxel_of_slot
+
+
+def _dedup_coords_to_meta(
+    pseudo: jax.Array,  # [M, ndim+1] brick-grid coords (batch first)
+    valid: jax.Array,  # [M]
+    grid,
+    spatial_shape,
+    batch_size: int,
+    brick_shape,
+    nb_bound: int,
+) -> Tuple[BrickMeta, jax.Array]:
+    """Dedup brick-coordinate candidates into a BrickMeta (sorted brick
+    table + full 3^ndim neighbor join).  Returns ``(meta, row_of_item)``
+    with ``row_of_item[i]`` = the brick row of candidate ``i`` (−1 when
+    invalid or beyond ``nb_bound``)."""
+    m = pseudo.shape[0]
+    ndim = pseudo.shape[1] - 1
     bkeys, bsent = C.linearize(pseudo, grid, batch_size, valid)
 
-    order = C.argsort_keys(bkeys)
-    sk = bkeys[order]
+    sk, order = C.sort_with_ids(bkeys)
     not_sent = ~C.is_sentinel(sk, bsent)
     is_first = jnp.concatenate([not_sent[:1], C.adj_differ(sk) & not_sent[1:]])
     uniq_pos = jnp.cumsum(is_first.astype(jnp.int32)) - 1
-    num_bricks = jnp.minimum(
-        jnp.sum(is_first.astype(jnp.int32)), nb_bound
-    )
+    num_bricks = jnp.minimum(jnp.sum(is_first.astype(jnp.int32)), nb_bound)
 
-    # brick row per voxel (scatter back through the sort)
-    row_flat = jnp.zeros((n,), jnp.int32).at[order].set(uniq_pos)
-    in_brick = valid & (row_flat < nb_bound)
+    # brick row per candidate (scatter back through the sort)
+    row_flat = jnp.zeros((m,), jnp.int32).at[order].set(uniq_pos)
+    row_flat = jnp.where(valid & (row_flat < nb_bound), row_flat, -1)
 
     # unique brick coords buffer (ascending key order)
     uniq_scatter = jnp.where(
@@ -208,24 +239,14 @@ def build_bricks(
     nbr = _join_lookup(bkeys_buf, nkeys, bsent).reshape(ndirs, nb_bound)
     nbr = jnp.where(nb_valid, nbr, -1)
 
-    # slot occupancy: voxel_of_slot via conflict-free scatter
-    lflat = jnp.zeros((n,), jnp.int32)
-    for i, b in enumerate(brick_shape):
-        lflat = lflat * b + local[:, i]
-    slot = row_flat * bvol + lflat
-    slot = jnp.where(in_brick, slot, nb_bound * bvol)
-    voxel_of_slot = jnp.full((nb_bound * bvol,), -1, jnp.int32)
-    voxel_of_slot = voxel_of_slot.at[slot].set(
-        jnp.arange(n, dtype=jnp.int32), mode="drop"
-    )
-
     meta = BrickMeta(
         brick_coords, nbr, num_bricks,
-        brick_shape=brick_shape, grid=grid,
+        brick_shape=tuple(int(b) for b in brick_shape),
+        grid=tuple(int(g) for g in grid),
         spatial_shape=tuple(int(s) for s in spatial_shape),
         batch_size=batch_size, nb=nb_bound,
     )
-    return meta, voxel_of_slot
+    return meta, row_flat
 
 
 def pack_tensor(
@@ -311,6 +332,11 @@ def _halo(x: jax.Array, meta: BrickMeta, pad: Sequence[int]) -> jax.Array:
             f"halo pad {pad[ax]} exceeds brick dim {bshape[ax]}"
         )
     disp = C.kernel_offsets((3,) * ndim) - 1  # [ndirs, ndim], build order
+    # gather on the flattened [NB, bvol·C] view: one contiguous row per
+    # brick.  A take on the 5-D view lowers to a multi-dim-slice gather,
+    # which is catastrophically slow on TPU (measured: 35 ms vs ~3 ms for
+    # the identical bytes as plain row gathers — see DESIGN_NOTES.md).
+    x2 = x.reshape(x.shape[0], -1)
 
     def slab(d_idx: int, d: np.ndarray) -> Optional[jax.Array]:
         """Neighbor slab for direction d, or None when pad==0 on an axis
@@ -321,10 +347,7 @@ def _halo(x: jax.Array, meta: BrickMeta, pad: Sequence[int]) -> jax.Array:
         if np.all(d == 0):
             src = x
         else:
-            src = jnp.take(x, jnp.maximum(ids, 0), axis=0)
-            src = src * (ids >= 0).reshape(
-                (-1,) + (1,) * (x.ndim - 1)
-            ).astype(x.dtype)
+            src = jnp.take(x2, jnp.maximum(ids, 0), axis=0).reshape(x.shape)
         for a in range(ndim):
             if d[a] == -1:  # lower halo ← top slab of the −1 neighbor
                 src = jax.lax.slice_in_dim(
@@ -332,6 +355,12 @@ def _halo(x: jax.Array, meta: BrickMeta, pad: Sequence[int]) -> jax.Array:
                 )
             elif d[a] == 1:  # upper halo ← bottom slab of the +1 neighbor
                 src = jax.lax.slice_in_dim(src, 0, pad[a], axis=1 + a)
+        if not np.all(d == 0):
+            # mask absent neighbors after slicing (cheaper than masking
+            # the full gathered brick)
+            src = src * (ids >= 0).reshape(
+                (-1,) + (1,) * (x.ndim - 1)
+            ).astype(x.dtype)
         return src
 
     # concat tree: innermost axis varies fastest in kernel_offsets order
@@ -349,21 +378,86 @@ def _halo(x: jax.Array, meta: BrickMeta, pad: Sequence[int]) -> jax.Array:
     return pieces[0]
 
 
+def _axis_pieces(bs_in: int, hull: int, pad: int):
+    """Which input bricks (relative index ``e``) cover the hull range
+    ``[−pad, −pad+hull)`` along one axis, and the slice of each.
+    Returns ``[(e, lo, hi)]`` with ``lo:hi`` the in-brick slice."""
+    out = []
+    e_lo = -((pad + bs_in - 1) // bs_in) if pad > 0 else 0
+    e_hi = (hull - 1 - pad) // bs_in
+    for e in range(e_lo, e_hi + 1):
+        lo = max(-pad - e * bs_in, 0)
+        hi = min(-pad + hull - e * bs_in, bs_in)
+        if hi > lo:
+            out.append((e, lo, hi))
+    return out
+
+
+def _assemble_hull(
+    x2z: jax.Array,  # [NB_in + 1, bvol_in·C] — zero row appended at NB_in
+    ids: jax.Array,  # [npieces, NB_out] — input brick row per piece (clamped)
+    pieces,  # list of per-axis (e, lo, hi) combos, x-fastest order
+    axis_pieces,  # per-axis piece lists (for the concat tree arity)
+    bshape_in: Sequence[int],
+    c: int,
+    center_src: Optional[jax.Array] = None,
+    center_idx: Optional[int] = None,
+) -> jax.Array:
+    """Gather + slice + concat-tree the hull volume ``[NB_out, *hull, C]``.
+
+    Gathers run on the flattened 2-D brick-row view (multi-dim-slice
+    gathers are catastrophic on TPU); missing bricks hit the appended zero
+    row.  ``center_src`` short-circuits the identity piece for the subm
+    case (no gather for a brick's own content)."""
+    ndim = len(bshape_in)
+    nb_out = ids.shape[1]
+    chunks = []
+    for pi, combo in enumerate(pieces):
+        if center_idx is not None and pi == center_idx:
+            src = center_src
+        else:
+            src = jnp.take(x2z, ids[pi], axis=0).reshape(
+                nb_out, *bshape_in, c
+            )
+        for a, (_, lo, hi) in enumerate(combo):
+            if (lo, hi) != (0, bshape_in[a]):
+                src = jax.lax.slice_in_dim(src, lo, hi, axis=1 + a)
+        chunks.append(src)
+    for a in reversed(range(ndim)):
+        arity = len(axis_pieces[a])
+        chunks = [
+            chunks[i] if arity == 1
+            else jnp.concatenate(chunks[i:i + arity], axis=1 + a)
+            for i in range(0, len(chunks), arity)
+        ]
+    assert len(chunks) == 1
+    return chunks[0]
+
+
+def _hull_dims(brick_shape, ksize, stride, dilation):
+    """Input-hull size per axis: ``s·(b−1) + (k−1)·d + 1``."""
+    return [
+        int(s) * (int(b) - 1) + (int(k) - 1) * int(d) + 1
+        for b, k, s, d in zip(brick_shape, ksize, stride, dilation)
+    ]
+
+
 def _expand_weight(
     weight: jax.Array,  # KRSC [K, *ksize, C]
     brick_shape: Sequence[int],
     dilation: Sequence[int],
-    pad: Sequence[int],
+    stride: Optional[Sequence[int]] = None,
 ) -> jax.Array:
     """Unroll the conv kernel into one hull→brick GEMM matrix.
 
     ``W_exp[(h, c), (s, k)] = W[k, t, c]`` where hull site ``h`` equals
-    slot position ``s`` plus tap offset ``t·dilation`` — so the whole
-    brick conv becomes ``x_hull [NB, hvol·C] @ W_exp [hvol·C, bvol·K]``,
-    one MXU-shaped GEMM instead of a tiny-spatial conv that XLA lowers
-    poorly (measured 36–63 ms/layer vs ~1–3 ms for the GEMM at stage-0).
-    The hull/kv FLOP overhead (e.g. 48/27 for 1×2×2 bricks) is paid from
-    the MXU's ~200× headroom over the sparse op's arithmetic.
+    ``stride·slot + tap·dilation`` — so the whole brick conv becomes
+    ``x_hull [NB, hvol·C] @ W_exp [hvol·C, bvol·K]``, one MXU-shaped GEMM
+    instead of a tiny-spatial conv that XLA lowers poorly (measured 36–63
+    ms/layer vs ~1–3 ms for the GEMM at stage-0).  The hull/kv FLOP
+    overhead (e.g. 48/27 for 1×2×2 bricks) is paid from the MXU's ~200×
+    headroom over the sparse op's arithmetic; for stride-2 downsamples the
+    overhead is exactly 1 (windows tile the hull).
     """
     ndim = len(brick_shape)
     ksize = weight.shape[1:-1]
@@ -371,14 +465,17 @@ def _expand_weight(
     c = weight.shape[-1]
     kv = int(np.prod(ksize))
     bvol = int(np.prod(brick_shape))
-    hull = [b + 2 * p for b, p in zip(brick_shape, pad)]
+    if stride is None:
+        stride = (1,) * ndim
+    hull = _hull_dims(brick_shape, ksize, stride, dilation)
     hvol = int(np.prod(hull))
 
     slots = C.kernel_offsets(brick_shape)  # [bvol, ndim]
     taps = C.kernel_offsets(ksize)  # [kv, ndim]
     dil = np.asarray([int(d) for d in dilation])
-    # hull position of (slot, tap): s + t·d  (hull origin = slot 0 − pad)
-    hpos = slots[:, None, :] + taps[None, :, :] * dil  # [bvol, kv, ndim]
+    st = np.asarray([int(s) for s in stride])
+    # hull position of (slot, tap): stride·s + t·d
+    hpos = st * slots[:, None, :] + taps[None, :, :] * dil  # [bvol, kv, ndim]
     hflat = np.zeros((bvol, kv), np.int64)
     for a in range(ndim):
         hflat = hflat * hull[a] + hpos[..., a]
@@ -430,7 +527,7 @@ def brick_subm_conv(
         jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
     )
     if strategy == "gemm":
-        w_exp = _expand_weight(weight, meta.brick_shape, dilation, pad)
+        w_exp = _expand_weight(weight, meta.brick_shape, dilation)
         hvol = int(np.prod(x.shape[1:-1]))
         out = jnp.dot(
             x.reshape(meta.nb, hvol * c),
@@ -453,6 +550,189 @@ def brick_subm_conv(
         ).astype(features.dtype)
         out = out.reshape(meta.num_slots, k_out)
     return jnp.where(active[:, None], out, 0)
+
+
+def brick_downsample_conv(
+    x: SparseConvTensor,
+    meta: BrickMeta,
+    weight: jax.Array,  # KRSC [K, *ksize, C]
+    bias: Optional[jax.Array],
+    stride: Sequence[int],
+    padding: Sequence[int],
+    dilation: Sequence[int],
+    fp32_accum: bool = True,
+    nb_bound: Optional[int] = None,
+) -> SparseConvTensor:
+    """Regular (strided) sparse conv on a brick-packed tensor.
+
+    Output brick ``B`` covers output sites ``[B·bs, (B+1)·bs)`` on the
+    downsampled grid; its input hull ``[s·B·bs − p, … + hulldim)`` is
+    assembled from the ≤3^ndim input bricks covering it (found by one
+    sort-join), then contracted with the stride-expanded GEMM matrix —
+    for stride 2 the windows tile the hull exactly, so the GEMM does
+    *zero* wasted FLOPs.  Output-site activity (the reference's
+    "any input in the window" rule, ``indices.py:177-203``) comes from
+    the same hull assembly applied to the occupancy mask.
+
+    Parity: SparseConvolution with subm=False (``spconv/pytorch/conv.py``),
+    ``get_conv_output_size`` sizing, bounded output table.
+    """
+    ndim = x.ndim
+    ksize = tuple(int(k) for k in weight.shape[1:-1])
+    stride = tuple(int(s) for s in stride)
+    padding = tuple(int(p) for p in padding)
+    dilation = tuple(int(d) for d in dilation)
+    bs = meta.brick_shape
+    c = x.features.shape[1]
+    k_out = weight.shape[0]
+    out_spatial = C.get_conv_output_size(
+        x.spatial_shape, ksize, stride, padding, dilation
+    )
+    if any(s <= 0 for s in out_spatial):
+        raise ValueError(
+            f"output spatial shape {out_spatial} reached zero; "
+            f"input {x.spatial_shape}"
+        )
+    out_grid = tuple(-(-int(o) // b) for o, b in zip(out_spatial, bs))
+    if nb_bound is None:
+        if all(s == 1 for s in stride):
+            # stride-1 regular conv dilates the active set — the output
+            # brick footprint grows (cf. _resolve_out_bound's ratio ≥ 2)
+            nb_bound = min(
+                4 * meta.nb, int(np.prod(out_grid)) * x.batch_size
+            )
+        else:
+            nb_bound = meta.nb
+
+    # ---- candidate output bricks --------------------------------------
+    # input brick B_in feeds output sites o with s·o − p + t·d ∈ its span;
+    # enumerate the ≤J consecutive output bricks per axis on device.
+    bc = meta.brick_coords  # [NB_in, ndim+1]
+    bvalid = bc[:, 0] >= 0
+    cand_axes = []
+    cand_hi = []
+    J = []
+    for a in range(ndim):
+        # o range fed by this input brick:
+        #   o_min(B) = ceil((B·bs + p − (k−1)·d) / s)      (clamped ≥ 0)
+        #   o_max(B) = floor(((B+1)·bs − 1 + p) / s)       (clamped < out)
+        lo_num = bc[:, 1 + a] * bs[a] + padding[a] \
+            - (ksize[a] - 1) * dilation[a]
+        o_min = jnp.maximum(-((-lo_num) // stride[a]), 0)
+        o_max = ((bc[:, 1 + a] + 1) * bs[a] - 1 + padding[a]) // stride[a]
+        o_max = jnp.minimum(o_max, out_spatial[a] - 1)
+        base = o_min // bs[a]
+        # static candidate count per axis
+        width = (bs[a] - 1 + (ksize[a] - 1) * dilation[a]) // stride[a] + 1
+        J.append(width // bs[a] + 2)
+        cand_axes.append(base)
+        cand_hi.append(o_max // bs[a])
+    combos = C.kernel_offsets(tuple(J))  # [prod(J), ndim] offsets
+    ncand = combos.shape[0]
+    cand = jnp.stack(
+        [cand_axes[a][None, :] + combos[:, a][:, None] for a in range(ndim)],
+        axis=-1,
+    )  # [ncand, NB_in, ndim]
+    hi = jnp.stack(cand_hi, axis=-1)[None, :, :]  # [1, NB_in, ndim]
+    out_grid_arr = jnp.asarray(out_grid, jnp.int32)
+    cvalid = (
+        jnp.all((cand >= 0) & (cand < out_grid_arr) & (cand <= hi), axis=-1)
+        & bvalid
+    )
+    bcol = jnp.broadcast_to(bc[None, :, :1], (ncand, meta.nb, 1))
+    pseudo = jnp.concatenate([bcol, cand], axis=-1).reshape(
+        ncand * meta.nb, ndim + 1
+    )
+    out_meta, _ = _dedup_coords_to_meta(
+        pseudo, cvalid.reshape(-1), out_grid, tuple(out_spatial),
+        x.batch_size, bs, nb_bound,
+    )
+
+    # ---- hull assembly from input bricks ------------------------------
+    hull = _hull_dims(bs, ksize, stride, dilation)
+    axis_pieces = [
+        _axis_pieces(bs[a], hull[a], padding[a]) for a in range(ndim)
+    ]
+    pieces = [[]]
+    for a in range(ndim):
+        pieces = [p + [ap] for p in pieces for ap in axis_pieces[a]]
+    # probe input brick coords: s·B_out + e per axis
+    st_arr = jnp.asarray(stride, jnp.int32)
+    ovalid = out_meta.brick_coords[:, 0] >= 0
+    in_keys, in_sent = C.linearize(
+        meta.brick_coords, meta.grid, x.batch_size,
+        meta.brick_coords[:, 0] >= 0,
+    )
+    probe_coords = []
+    probe_valid = []
+    in_grid_arr = jnp.asarray(meta.grid, jnp.int32)
+    for combo in pieces:
+        e = jnp.asarray([pc[0] for pc in combo], jnp.int32)
+        pcoord = out_meta.brick_coords[:, 1:] * st_arr + e[None, :]
+        pv = jnp.all((pcoord >= 0) & (pcoord < in_grid_arr), axis=-1) & ovalid
+        probe_coords.append(
+            jnp.concatenate([out_meta.brick_coords[:, :1], pcoord], axis=-1)
+        )
+        probe_valid.append(pv)
+    npieces = len(pieces)
+    probes = jnp.stack(probe_coords).reshape(npieces * nb_bound, ndim + 1)
+    pvalid = jnp.stack(probe_valid).reshape(-1)
+    pkeys, _ = C.linearize(probes, meta.grid, x.batch_size, pvalid)
+    ids = _join_lookup(in_keys, pkeys, in_sent).reshape(npieces, nb_bound)
+    ids = jnp.where(jnp.stack(probe_valid), ids, -1)
+    ids_clamped = jnp.where(ids >= 0, ids, meta.nb)
+
+    x2 = x.features.reshape(meta.nb, meta.bvol * c)
+    x2z = jnp.concatenate(
+        [x2, jnp.zeros((1, meta.bvol * c), x2.dtype)], axis=0
+    )
+    h = _assemble_hull(x2z, ids_clamped, pieces, axis_pieces, bs, c)
+    hvol = int(np.prod(hull))
+
+    precision = (
+        jax.lax.Precision.HIGHEST if x.features.dtype == jnp.float32 else None
+    )
+    w_exp = _expand_weight(weight, bs, dilation, stride)
+    out = jnp.dot(
+        h.reshape(nb_bound, hvol * c),
+        w_exp.astype(h.dtype),
+        precision=precision,
+        preferred_element_type=jnp.float32 if fp32_accum else None,
+    )
+
+    # ---- output-site activity (any active input in the window) --------
+    act_in = (x.indices[:, 0] >= 0).reshape(meta.nb, meta.bvol)
+    act2z = jnp.concatenate(
+        [act_in.astype(jnp.float32), jnp.zeros((1, meta.bvol))], axis=0
+    )
+    ha = _assemble_hull(act2z, ids_clamped, pieces, axis_pieces, bs, 1)
+    ones_w = jnp.ones((1, *ksize, 1), jnp.float32)
+    w_occ = _expand_weight(ones_w, bs, dilation, stride)
+    occ = jnp.dot(ha.reshape(nb_bound, hvol), w_occ,
+                  precision=jax.lax.Precision.HIGHEST)
+    active = (occ > 0.5).reshape(out_meta.num_slots)
+    # grid-edge: output coords past out_spatial never exist
+    out_inds = out_meta.slot_indices(active)
+    in_range = jnp.all(
+        (out_inds[:, 1:] < jnp.asarray(out_spatial, jnp.int32)), axis=-1
+    )
+    active = active & in_range
+    out_inds = jnp.where(active[:, None], out_inds, -1)
+
+    out_feat = out.reshape(out_meta.num_slots, k_out)
+    if bias is not None:
+        out_feat = out_feat + bias.astype(out_feat.dtype)
+    out_feat = jnp.where(active[:, None], out_feat, 0).astype(
+        x.features.dtype
+    )
+
+    res = SparseConvTensor(
+        out_feat, out_inds, tuple(out_spatial), x.batch_size,
+        num_voxels=jnp.sum(active.astype(jnp.int32)),
+        benchmark=x.benchmark,
+    )
+    res.indice_dict[brick_key(bs, out_spatial)] = out_meta
+    return res
 
 
 def brick_pool(

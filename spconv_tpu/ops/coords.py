@@ -27,6 +27,7 @@ __all__ = [
     "key_dtype_for",
     "use_pair_keys",
     "argsort_keys",
+    "sort_with_ids",
     "adj_differ",
     "is_sentinel",
     "full_sentinel",
@@ -187,6 +188,22 @@ def argsort_keys(keys: jax.Array, stable: bool = False) -> jax.Array:
     o1 = jnp.argsort(keys[:, 1], stable=True)
     o2 = jnp.argsort(keys[o1, 0], stable=True)
     return o1[o2]
+
+
+def sort_with_ids(keys: jax.Array):
+    """``(sorted_keys, order)`` in ONE ``lax.sort`` — the payload rides the
+    sort, avoiding the post-argsort ``keys[order]`` gather (a 4-byte-row
+    gather over millions of elements is a measured hot spot in rulebook
+    builds).  Pair keys sort lexicographically via ``num_keys=2``."""
+    n = keys.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    if keys.ndim == 1:
+        sk, order = jax.lax.sort((keys, iota), num_keys=1, is_stable=True)
+        return sk, order
+    hi, lo, order = jax.lax.sort(
+        (keys[:, 0], keys[:, 1], iota), num_keys=2, is_stable=True
+    )
+    return jnp.stack([hi, lo], axis=-1), order
 
 
 def adj_differ(sk: jax.Array) -> jax.Array:

@@ -79,8 +79,7 @@ def point_to_voxel(
     )
     key, sentinel = C.linearize(pseudo, grid_zyx, 1, in_range)
 
-    order = C.argsort_keys(key, stable=True)  # stable → first-come order
-    sk = key[order]
+    sk, order = C.sort_with_ids(key)  # stable → first-come point order
     not_sent = ~C.is_sentinel(sk, sentinel)
     is_first = jnp.concatenate([not_sent[:1], C.adj_differ(sk) & not_sent[1:]])
     vid_sorted = jnp.cumsum(is_first.astype(jnp.int32)) - 1

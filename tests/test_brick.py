@@ -143,6 +143,65 @@ class TestBlockConv:
                                    atol=1e-3, rtol=1e-4)
 
 
+class TestBlockDownsample:
+    @pytest.mark.parametrize("cfg", [
+        # (ksize, stride, padding, dilation)
+        (3, 2, 1, 1),
+        (3, 2, 0, 1),
+        (2, 2, 0, 1),
+        (3, 1, 1, 1),
+        ((3, 1, 1), (2, 1, 1), 0, 1),
+    ])
+    def test_strided_matches_native(self, rng, cfg):
+        k, s, p, d = cfg
+        shape = (9, 13, 11)
+        x = _make_input(shape, 150, 5, rng, batch_size=2)
+        conv_n = spconv_tpu.SparseConv3d(5, 7, k, stride=s, padding=p,
+                                         dilation=d, out_bound=4096,
+                                         key=jax.random.PRNGKey(3))
+        conv_b = spconv_tpu.SparseConv3d(5, 7, k, stride=s, padding=p,
+                                         dilation=d, algo="block",
+                                         brick_shape=(2, 2, 2),
+                                         key=jax.random.PRNGKey(3))
+        conv_b.weight = conv_n.weight
+        conv_b.bias = conv_n.bias
+        yn = conv_n(x)
+        yb = conv_b(x)
+        assert yn.spatial_shape == yb.spatial_shape
+        assert int(yn.num_voxels) == int(yb.num_voxels)
+        assert_sparse_allclose(
+            np.asarray(yn.features), np.asarray(yn.indices),
+            np.asarray(yb.features), np.asarray(yb.indices),
+            atol=1e-4,
+        )
+
+    def test_down_then_subm_chain(self, rng):
+        """Downsample output is brick-packed: a following block subm conv
+        reuses it, and the whole chain matches native."""
+        shape = (8, 12, 12)
+        x = _make_input(shape, 150, 4, rng)
+        dn = spconv_tpu.SparseConv3d(4, 8, 3, stride=2, padding=1,
+                                     out_bound=512, key=jax.random.PRNGKey(0))
+        sn = spconv_tpu.SubMConv3d(8, 8, 3, key=jax.random.PRNGKey(1))
+        db = spconv_tpu.SparseConv3d(4, 8, 3, stride=2, padding=1,
+                                     algo="block", key=jax.random.PRNGKey(0))
+        sb = spconv_tpu.SubMConv3d(8, 8, 3, algo="block",
+                                   key=jax.random.PRNGKey(1))
+        db.weight, db.bias = dn.weight, dn.bias
+        sb.weight, sb.bias = sn.weight, sn.bias
+        yn = sn(dn(x))
+        mid = db(x)
+        from spconv_tpu.ops import brick as B
+        assert B.find_brick_meta(mid) is not None
+        yb = sb(mid)
+        assert yb.features.shape[0] == mid.features.shape[0]  # meta reused
+        assert_sparse_allclose(
+            np.asarray(yn.features), np.asarray(yn.indices),
+            np.asarray(yb.features), np.asarray(yb.indices),
+            atol=1e-4,
+        )
+
+
 class TestBlockPool:
     @pytest.mark.parametrize("mode", ["max", "mean"])
     @pytest.mark.parametrize("shape", [(8, 12, 12), (9, 13, 11)])
@@ -199,6 +258,21 @@ class TestBlockPool:
             np.asarray(yb.features), np.asarray(yb.indices),
             atol=1e-4,
         )
+
+    def test_centerpoint_encoder_block_matches_native(self, rng):
+        """Full SECOND/CenterPoint encoder (subm blocks + strided downs +
+        mixed-stride conv_out + residuals) in block mode vs native."""
+        from spconv_tpu.models import centerpoint_encoder
+
+        shape = (21, 16, 16)
+        x = _make_input(shape, 180, 5, rng)
+        nn = centerpoint_encoder(in_channels=5, bn=False,
+                                 key=jax.random.PRNGKey(0))
+        nb = centerpoint_encoder(in_channels=5, bn=False, algo="block",
+                                 key=jax.random.PRNGKey(0))
+        bev_n = np.asarray(nn.bev(x))
+        bev_b = np.asarray(nb.bev(x))
+        np.testing.assert_allclose(bev_b, bev_n, atol=2e-3, rtol=1e-3)
 
     def test_pipeline_under_jit(self, rng):
         shape = (8, 8, 8)
