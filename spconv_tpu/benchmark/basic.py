@@ -145,8 +145,13 @@ def make_bench_input(voxels, coors, spatial_shape, dtype=jnp.float32,
 
 def measure_block_bounds(shape, x: SparseConvTensor,
                          brick_shape=(2, 2, 2)) -> List[int]:
-    """One eager block-mode pass to size per-stage brick tables (7 entries:
-    input packing + after each of the 6 pools), 5% margin, 128-aligned."""
+    """Size the per-stage brick tables (7 entries: input packing + after
+    each of the 6 pools), 5% margin, 128-aligned.
+
+    Brick counts depend only on the *active-site set* — subm convs
+    preserve it, only packing and pools change it — so the sizing pass
+    runs on 1-channel occupancy features and never materializes hull
+    buffers (running the full convs eagerly OOMs at 900k voxels)."""
     from spconv_tpu.ops import brick as B
 
     def bound_of(t):
@@ -154,16 +159,16 @@ def measure_block_bounds(shape, x: SparseConvTensor,
         nb = int(meta.num_bricks)
         return max(128, -(-int(nb * 1.05) // 128) * 128)
 
-    net = BenchNet(shape, algo="block", brick_shape=brick_shape)
-    bounds = []
-    c, p = net.convs, net.pools
-    for stage in range(6):
-        x = c[2 * stage](x)
-        if stage == 0:
-            bounds.append(bound_of(x))
-        x = c[2 * stage + 1](x)
-        x = p[stage](x)
-        bounds.append(bound_of(x))
+    occ = SparseConvTensor(
+        jnp.ones((x.indices.shape[0], 1), jnp.float32), x.indices,
+        x.spatial_shape, x.batch_size,
+    )
+    t = B.pack_tensor(occ, brick_shape=brick_shape)
+    bounds = [bound_of(t)]
+    for _ in range(6):
+        meta = B.find_brick_meta(t)
+        t = B.brick_pool(t, meta, mode="max")
+        bounds.append(bound_of(t))
     return bounds
 
 

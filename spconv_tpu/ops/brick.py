@@ -204,8 +204,10 @@ def _dedup_coords_to_meta(
     uniq_pos = jnp.cumsum(is_first.astype(jnp.int32)) - 1
     num_bricks = jnp.minimum(jnp.sum(is_first.astype(jnp.int32)), nb_bound)
 
-    # brick row per candidate (scatter back through the sort)
-    row_flat = jnp.zeros((m,), jnp.int32).at[order].set(uniq_pos)
+    # brick row per candidate — unsort via a second sort (cheaper than an
+    # element scatter, tools/probe_sort2.py)
+    _, row_flat = jax.lax.sort((order, uniq_pos), num_keys=1,
+                               is_stable=False)
     row_flat = jnp.where(valid & (row_flat < nb_bound), row_flat, -1)
 
     # unique brick coords buffer (ascending key order)

@@ -206,6 +206,29 @@ def sort_with_ids(keys: jax.Array):
     return jnp.stack([hi, lo], axis=-1), order
 
 
+def sort_with_payload(keys: jax.Array, payload: jax.Array):
+    """``(sorted_keys, sorted_payload)`` in one stable ``lax.sort``;
+    pair keys sort lexicographically via ``num_keys=2``."""
+    if keys.ndim == 1:
+        sk, p = jax.lax.sort((keys, payload), num_keys=1, is_stable=True)
+        return sk, p
+    hi, lo, p = jax.lax.sort(
+        (keys[:, 0], keys[:, 1], payload), num_keys=2, is_stable=True
+    )
+    return jnp.stack([hi, lo], axis=-1), p
+
+
+def keys_equal_shift(sk: jax.Array, s: int) -> jax.Array:
+    """``[M]`` bool: ``sk[j] == sk[j-s]`` (False for ``j < s``), for either
+    key layout.  On a sorted array this tests whether the whole span
+    ``[j-s, j]`` shares one key."""
+    if sk.ndim == 1:
+        eq = sk[s:] == sk[:-s]
+    else:
+        eq = jnp.all(sk[s:] == sk[:-s], axis=-1)
+    return jnp.concatenate([jnp.zeros((s,), bool), eq])
+
+
 def adj_differ(sk: jax.Array) -> jax.Array:
     """``sk[1:] != sk[:-1]`` for either key layout (``[N-1]`` bool)."""
     if sk.ndim == 1:

@@ -43,31 +43,13 @@ def _zero_pad(features: jax.Array) -> jax.Array:
     )
 
 
-# Rows narrower than this (bytes) hit the TPU's narrow-row gather cliff
-# (measured: 6 B rows gather ~5× slower than 128 B rows; the 3→64 bench
-# layer costs 50 ms direct vs ~9 ms after expand-first).
-_NARROW_ROW_BYTES = 64
-
-
-def _gather_sum(y0: jax.Array, pairs: jax.Array, accum_dtype) -> jax.Array:
-    """``Σ_k y0[k, pairs[k, o]]`` → ``[M, D]``.
-
-    ``y0``: ``[nk, N+1, D]`` per-offset rows (zero row at index N).
-    One flat take per offset chunk (indices offset by ``k·(N+1)``),
-    summed — XLA fuses the adds; no ``[nk, M, D]`` buffer materializes
-    beyond the chunk.
-    """
-    nk, n1, d = y0.shape
-    m = pairs.shape[1]
-    y0f = y0.reshape(nk * n1, d)
-    acc = jnp.zeros((m, d), accum_dtype)
-    base = np.arange(nk, dtype=np.int64) * n1
-    for chunk in _chunks(list(range(nk)), m, d):
-        ka = np.array(chunk)
-        ids = pairs[ka] + jnp.asarray(base[ka], jnp.int32)[:, None]
-        g = jnp.take(y0f, ids.reshape(-1), axis=0).reshape(len(chunk), m, d)
-        acc = acc + jnp.sum(g.astype(accum_dtype), axis=0)
-    return acc
+# NOTE (round-2 correction): an "expand-first" path for narrow channel
+# counts (project through W per offset, then gather K-wide rows) was tried
+# here and measured 10× SLOWER than the direct gather on the real TPU
+# (63.9 ms vs 6.2 ms for the 3→64 bench layer — the original 50 ms
+# "direct" number had the 30 ms rulebook build folded in).  There is no
+# narrow-row gather cliff at these sizes; the direct chunked gather is
+# used for every channel width (tools/probe_c0.py).
 
 
 def _clamp_pairs(pair: jax.Array, zero_row: int) -> jax.Array:
@@ -110,20 +92,6 @@ def gather_mm(
         acc = jnp.zeros((n_out, k_ch), dtype=accum_dtype)
         ks = list(range(kv))
 
-    if c * features.dtype.itemsize < _NARROW_ROW_BYTES and c < k_ch:
-        # Expand-first: project each input to its per-offset output
-        # contribution FIRST (tiny GEMM), then gather K-wide rows and add.
-        ka = np.array(ks)
-        y0 = jnp.einsum(
-            "nc,kcd->knd", features, weight_kv[ka],
-            preferred_element_type=accum_dtype,
-        ).astype(features.dtype)  # [len(ks), N_in, K]
-        y0 = jnp.concatenate(
-            [y0, jnp.zeros((len(ks), 1, k_ch), y0.dtype)], axis=1
-        )
-        acc = acc + _gather_sum(y0, pf[ka], accum_dtype)
-        return acc.astype(out_dtype)
-
     for chunk in _chunks(ks, n_out, c):
         ka = np.array(chunk)
         g = jnp.take(fz, pf[ka], axis=0)  # [chunk, N_out, C]
@@ -160,20 +128,6 @@ def dgrad_gather_mm(
         acc = jnp.zeros((n_in, c), dtype=accum_dtype)
         ks = list(range(kv))
 
-    if k_ch * dout.dtype.itemsize < _NARROW_ROW_BYTES and k_ch < c:
-        # expand-first (see gather_mm): project dout through Wᵀ per
-        # offset, then gather C-wide rows
-        ka = np.array(ks)
-        z0 = jnp.einsum(
-            "nd,kcd->knc", dout, weight_kv[ka],
-            preferred_element_type=accum_dtype,
-        ).astype(dout.dtype)  # [len(ks), N_out, C]
-        z0 = jnp.concatenate(
-            [z0, jnp.zeros((len(ks), 1, c), z0.dtype)], axis=1
-        )
-        acc = acc + _gather_sum(z0, pb[ka], accum_dtype)
-        return acc.astype(out_dtype)
-
     for chunk in _chunks(ks, n_in, k_ch):
         ka = np.array(chunk)
         g = jnp.take(dz, pb[ka], axis=0)  # [chunk, N_in, K]
@@ -192,13 +146,7 @@ def wgrad_gather_mm(
     out_dtype=None,
     pair_bwd: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """dW[k] = gather_k(features)ᵀ @ dout   →  [kv, C, K].
-
-    Gathers from whichever side has the wider rows: when ``C`` is narrow
-    (below the gather cliff) and ``pair_bwd`` is available, the identical
-    pair set is walked from the input side — ``dW[k] = featuresᵀ @
-    dout[pair_bwd[k]]`` — gathering K-wide ``dout`` rows instead.
-    """
+    """dW[k] = gather_k(features)ᵀ @ dout   →  [kv, C, K]."""
     out_dtype = out_dtype or features.dtype
     kv = pair_fwd.shape[0]
     n_out = pair_fwd.shape[1]
@@ -206,25 +154,10 @@ def wgrad_gather_mm(
     c = features.shape[1]
     k_ch = dout.shape[1]
     del subm_center  # center pair is identity-masked; generic path is exact
+    del pair_bwd  # input-side walk measured no faster (probe_c0)
 
     parts = []
     ks = list(range(kv))
-    if (
-        pair_bwd is not None
-        and c * features.dtype.itemsize < _NARROW_ROW_BYTES
-        and c < k_ch
-    ):
-        dz = _zero_pad(dout)
-        pb = _clamp_pairs(pair_bwd, n_out)
-        for chunk in _chunks(ks, n_in, k_ch):
-            ka = np.array(chunk)
-            g = jnp.take(dz, pb[ka], axis=0)  # [chunk, N_in, K]
-            parts.append(
-                jnp.einsum("nc,knd->kcd", features, g,
-                           preferred_element_type=accum_dtype)
-            )
-        return jnp.concatenate(parts, axis=0).astype(out_dtype)
-
     fz = _zero_pad(features)
     pf = _clamp_pairs(pair_fwd, n_in)
     for chunk in _chunks(ks, n_out, c):

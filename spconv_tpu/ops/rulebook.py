@@ -39,41 +39,52 @@ __all__ = [
 ]
 
 
-def _join_lookup(table_keys: jax.Array, queries: jax.Array, sentinel) -> jax.Array:
+def _join_lookup(
+    table_keys: jax.Array, queries: jax.Array, sentinel,
+    max_dup: Optional[int] = None,
+) -> jax.Array:
     """Batch table lookup by sort-join: for each query key, the row index in
     ``table_keys`` holding an equal key, or −1.
 
     TPU-native replacement for the reference's GPU hash probe
     (``csrc/hash/core.py`` LinearHashTableSplit.lookup).  A binary-search
-    (``jnp.searchsorted``) formulation is ~30× slower on TPU (measured:
-    16 ms per 127k-query probe vs ~1 ms for one 1.8M-element sort), so all
-    queries are answered in ONE argsort + segmented forward-fill:
+    (``jnp.searchsorted``) formulation is ~30× slower on TPU (16 ms per
+    127k-query probe), and element-wise int32 gathers/scatters run at only
+    ~140/215 M elem/s (tools/probe_sort2.py) — so the join touches memory
+    ONLY through sorts (≈0.7 G elem/s) and elementwise shifts:
 
-    * stable-sort [table ‖ queries]; within an equal-key group the (unique)
-      table entry sorts first,
-    * forward-fill each sorted position with its group-start position via
-      ``cummax`` over boundary-marked positions (monotone → no reset op),
-    * a query matches iff its group's first element is a table row.
+    * ONE stable sort of [table ‖ queries] with the source index riding as
+      payload; within an equal-key run the (unique) table entry sorts
+      first (its source index is smallest),
+    * pointer-doubling propagation of the run-leading table row through
+      shifted compares (``log2(max_dup)`` elementwise passes — a sorted
+      array lets one compare test a whole span),
+    * ONE unstable sort keyed by the source index to restore query order
+      (replacing an 8 ms scatter with a 2 ms sort at 1.8M elements).
 
     ``table_keys`` must hold unique keys except the sentinel; sentinel
-    queries never match (guarded explicitly).
+    queries never match.  ``max_dup`` bounds the number of queries sharing
+    one key (+1); default = full log passes (always correct).
     """
     t = table_keys.shape[0]
     q = queries.shape[0]
-    allk = jnp.concatenate([table_keys, queries])
-    sk, order = C.sort_with_ids(allk)
-    pos = jnp.arange(t + q, dtype=jnp.int32)
-    boundary = jnp.concatenate([jnp.ones((1,), bool), C.adj_differ(sk)])
-    group_start = jax.lax.cummax(jnp.where(boundary, pos, 0))
-    first_elem = order[group_start]
-    is_table_first = first_elem < t
-    matched = jnp.where(is_table_first, first_elem, -1)
-    matched = jnp.where(~C.is_sentinel(sk, sentinel), matched, -1)
-    # scatter back to query order (table positions dropped)
-    res = jnp.full((q,), -1, jnp.int32)
-    qpos = jnp.where(order >= t, order - t, q)
-    res = res.at[qpos].set(matched.astype(jnp.int32), mode="drop")
-    return res
+    m = t + q
+    allk = jnp.concatenate([table_keys, queries], axis=0)
+    src = jnp.arange(m, dtype=jnp.int32)
+    sk, src_s = C.sort_with_payload(allk, src)
+    val = jnp.where(src_s < t, src_s, -1)
+    limit = int(max_dup) if max_dup is not None else m
+    s = 1
+    while s < limit:
+        eq = C.keys_equal_shift(sk, s)
+        shifted = jnp.concatenate(
+            [jnp.full((s,), -1, jnp.int32), val[:-s]]
+        )
+        val = jnp.maximum(val, jnp.where(eq, shifted, -1))
+        s *= 2
+    val = jnp.where(C.is_sentinel(sk, sentinel), -1, val)
+    _, res = jax.lax.sort((src_s, val), num_keys=1, is_stable=False)
+    return res[t:]
 
 
 @partial(jax.jit, static_argnames=("spatial_shape", "batch_size", "ksize", "dilation"))
@@ -87,9 +98,14 @@ def build_subm_rulebook(
 ) -> IndiceData:
     """Submanifold rulebook: output sites == input sites.
 
-    Uses the reference's center-identity + offset-mirror symmetry
-    (``indices.py:757-804`` writes pairs for ``k`` and ``kv-1-k`` at once),
-    so only ``kv//2`` sorted-table probes are needed.
+    ONE sort-join answers every non-center neighbor probe, and because the
+    probe source index rides the sort as payload, the join's unsort
+    delivers ``pair_fwd`` directly in dense ``[kv-1, N]`` layout — the
+    build contains no element scatters at all (an earlier mirror-scatter
+    formulation spent 8 ms+ in XLA scatters; see tools/probe_sort2.py).
+    The reference instead hash-probes with offset-mirror writes
+    (``indices.py:757-804``); the mirror symmetry survives here as
+    ``pair_bwd = pair_fwd[::-1]``.
     """
     ksize = tuple(int(k) for k in ksize)
     dilation = tuple(int(d) for d in dilation)
@@ -110,33 +126,26 @@ def build_subm_rulebook(
     disp = (offs - centers) * np.array(dilation)  # displacement per offset
     shape_arr = jnp.asarray([int(s) for s in spatial_shape], dtype=jnp.int32)
 
-    # batch ALL half-kernel neighbor queries into one sort-join
-    d = jnp.asarray(disp[:center], dtype=jnp.int32)  # [center, ndim]
-    ncoord = indices[None, :, 1:] + d[:, None, :]  # [center, N, ndim]
+    # batch ALL non-center neighbor queries into one sort-join; probe
+    # order == offset order, so the reshape below is pair_fwd's layout
+    ks = [k for k in range(kv) if k != center]
+    d = jnp.asarray(disp[np.asarray(ks)], dtype=jnp.int32)  # [kv-1, ndim]
+    ncoord = indices[None, :, 1:] + d[:, None, :]  # [kv-1, N, ndim]
     in_bounds = (
         jnp.all((ncoord >= 0) & (ncoord < shape_arr), axis=-1) & valid[None, :]
-    )  # [center, N]
-    bcol = jnp.broadcast_to(indices[None, :, :1], (center, n, 1))
-    nfull = jnp.concatenate([bcol, ncoord], axis=-1).reshape(center * n, ndim + 1)
+    )  # [kv-1, N]
+    bcol = jnp.broadcast_to(indices[None, :, :1], (kv - 1, n, 1))
+    nfull = jnp.concatenate([bcol, ncoord], axis=-1).reshape(
+        (kv - 1) * n, ndim + 1
+    )
     nkeys, _ = C.linearize(
         nfull, spatial_shape, batch_size, in_bounds.reshape(-1)
     )
-    src_all = _join_lookup(keys, nkeys, sent).reshape(center, n)
-    src_all = jnp.where(in_bounds, src_all, -1)
-
-    # mirror: if a feeds o via k then o feeds a via kv-1-k  ⇒
-    # pair_fwd[kv-1-k][a] = o; one batched conflict-free scatter.
-    iota_b = jnp.broadcast_to(iota[None, :], (center, n))
-    k_idx = jnp.broadcast_to(
-        jnp.arange(center, dtype=jnp.int32)[:, None], (center, n)
-    )
-    mirror_all = jnp.full((center, n), -1, dtype=jnp.int32)
-    mirror_all = mirror_all.at[
-        k_idx, jnp.where(src_all >= 0, src_all, n)
-    ].set(jnp.where(src_all >= 0, iota_b, -1), mode="drop")
+    # max_dup: each table key is probed at most once per offset
+    src_all = _join_lookup(keys, nkeys, sent, max_dup=kv).reshape(kv - 1, n)
 
     pair_fwd = jnp.concatenate(
-        [src_all, identity[None, :], mirror_all[::-1]], axis=0
+        [src_all[:center], identity[None, :], src_all[center:]], axis=0
     )
     # subm: input i feeds output at coord(i) - d_k = coord(i) + d_{kv-1-k}
     pair_bwd = pair_fwd[::-1]
@@ -232,8 +241,10 @@ def build_conv_rulebook(
     uniq_pos = jnp.cumsum(is_first.astype(jnp.int32)) - 1  # pos of each cand's key
     num_out_total = jnp.sum(is_first.astype(jnp.int32))
 
-    # out position per flat candidate (scatter back through the sort)
-    out_pos_flat = jnp.zeros((kv * n,), dtype=jnp.int32).at[order].set(uniq_pos)
+    # out position per flat candidate — unsort by a second sort (an int32
+    # scatter at kv·N elements costs ~8 ms/1.8M; the sort ~2 ms)
+    _, out_pos_flat = jax.lax.sort((order, uniq_pos), num_keys=1,
+                                   is_stable=False)
     out_pos = out_pos_flat.reshape(kv, n)
     pair_valid = valid & (out_pos < out_bound)
     pair_bwd = jnp.where(pair_valid, out_pos, -1)

@@ -1,0 +1,135 @@
+"""Fused sorted-key conv kernel vs rulebook+gather golden path.
+
+Covers: fwd equality, input/weight grads, bounds handling at grid edges,
+pad rows, non-cubic kernels, dilation, 2d, fallback on unsorted keys.
+Interpret mode (no TPU in CI).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spconv_tpu.ops import coords as C
+from spconv_tpu.ops.gather_gemm import indice_conv
+from spconv_tpu.ops.pallas.sorted_conv import (
+    build_sk_plans, sk_subm_conv, subm_key_deltas)
+from spconv_tpu.ops.rulebook import build_subm_rulebook
+
+from utils import generate_sparse_data
+
+
+def _sorted_input(rng, shape, n, c, nbuf, batch_size=1):
+    feats, inds = generate_sparse_data(shape, n, c, batch_size=batch_size,
+                                       rng=rng)
+    nbuf = max(nbuf, -(-inds.shape[0] // 128) * 128)
+    key = inds[:, 0].astype(np.int64)
+    for a, s in enumerate(shape):
+        key = key * s + inds[:, a + 1]
+    order = np.argsort(key, kind="stable")
+    inds, feats = inds[order], feats[order]
+    fb = np.zeros((nbuf, c), np.float32)
+    ib = np.full((nbuf, inds.shape[1]), -1, np.int32)
+    fb[: len(inds)] = feats
+    ib[: len(inds)] = inds
+    return jnp.asarray(fb), jnp.asarray(ib)
+
+
+def _keys_of(inds, shape, batch_size):
+    keys, sent = C.linearize(inds, shape, batch_size)
+    return keys, int(sent)
+
+
+@pytest.mark.parametrize(
+    "shape,ksize,dilation,batch",
+    [
+        ((11, 13, 17), (3, 3, 3), (1, 1, 1), 1),
+        ((11, 13, 17), (3, 1, 3), (1, 1, 1), 1),
+        ((15, 15, 15), (3, 3, 3), (2, 1, 2), 1),
+        ((9, 40, 40), (3, 3, 3), (1, 1, 1), 2),
+        ((25, 25), (3, 3), (1, 1), 1),
+    ],
+)
+def test_sk_conv_fwd_matches_rulebook(rng, shape, ksize, dilation, batch):
+    ndim = len(shape)
+    c, k_out = 8, 16
+    n = 300
+    nbuf = 512
+    feats, inds = _sorted_input(rng, shape, n, c, nbuf, batch)
+    keys, sent = _keys_of(inds, shape, batch)
+    w = jnp.asarray(rng.randn(k_out, *ksize, c).astype(np.float32) * 0.1)
+
+    out = sk_subm_conv(
+        feats, inds, keys, w, spatial_shape=shape, batch_size=batch,
+        dilation=dilation, tile=128, window=256, interpret=True,
+    )
+    data = build_subm_rulebook(
+        inds, spatial_shape=shape, batch_size=batch, ksize=ksize,
+        dilation=dilation)
+    ref = indice_conv(feats, w, data.pair_fwd, data.pair_bwd, is_subm=True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=5e-2, atol=1e-2)
+
+
+def test_sk_conv_grads_match(rng):
+    shape = (11, 13, 17)
+    c, k_out, n, nbuf = 8, 8, 250, 384
+    feats, inds = _sorted_input(rng, shape, n, c, nbuf)
+    keys, sent = _keys_of(inds, shape, 1)
+    w = jnp.asarray(rng.randn(k_out, 3, 3, 3, c).astype(np.float32) * 0.1)
+
+    def loss_sk(f, ww):
+        o = sk_subm_conv(
+            f, inds, keys, ww, spatial_shape=shape, batch_size=1,
+            dilation=(1, 1, 1), tile=128, window=256, interpret=True)
+        return jnp.sum(o * o)
+
+    data = build_subm_rulebook(
+        inds, spatial_shape=shape, batch_size=1, ksize=(3, 3, 3),
+        dilation=(1, 1, 1))
+
+    def loss_ref(f, ww):
+        o = indice_conv(f, ww, data.pair_fwd, data.pair_bwd, is_subm=True)
+        return jnp.sum(o * o)
+
+    g_sk = jax.grad(loss_sk, argnums=(0, 1))(feats, w)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(feats, w)
+    np.testing.assert_allclose(
+        np.asarray(g_sk[0]), np.asarray(g_ref[0]), rtol=5e-2, atol=2e-2)
+    np.testing.assert_allclose(
+        np.asarray(g_sk[1]), np.asarray(g_ref[1]), rtol=5e-2, atol=2e-2)
+
+
+def test_sk_conv_fallback_on_unsorted(rng):
+    """Unsorted keys must take the rulebook path and stay correct."""
+    shape = (9, 9, 9)
+    c, k_out, n, nbuf = 4, 4, 120, 256
+    feats, inds = _sorted_input(rng, shape, n, c, nbuf)
+    # shuffle active rows out of key order
+    perm = np.concatenate([rng.permutation(n), np.arange(n, nbuf)])
+    feats = feats[perm]
+    inds = inds[perm]
+    keys, sent = _keys_of(inds, shape, 1)
+    assert bool(jnp.any(keys[1:] < keys[:-1]))
+    w = jnp.asarray(rng.randn(k_out, 3, 3, 3, c).astype(np.float32) * 0.1)
+    out = sk_subm_conv(
+        feats, inds, keys, w, spatial_shape=shape, batch_size=1,
+        dilation=(1, 1, 1), tile=128, window=256, interpret=True)
+    data = build_subm_rulebook(
+        inds, spatial_shape=shape, batch_size=1, ksize=(3, 3, 3),
+        dilation=(1, 1, 1))
+    ref = indice_conv(feats, w, data.pair_fwd, data.pair_bwd, is_subm=True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=5e-2, atol=1e-2)
+
+
+def test_sk_plan_presence_and_deltas():
+    """Key deltas match coordinate displacements on the linearized grid."""
+    shape = (5, 7, 9)
+    deltas, disp = subm_key_deltas((3, 3, 3), (1, 1, 1), shape)
+    assert deltas.shape == (27,)
+    assert deltas[13] == 0  # center
+    # delta of offset (dz,dy,dx) = dz*7*9 + dy*9 + dx
+    for k in range(27):
+        dz, dy, dx = disp[k]
+        assert deltas[k] == dz * 63 + dy * 9 + dx
