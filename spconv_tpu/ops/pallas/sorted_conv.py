@@ -55,6 +55,11 @@ from .. import coords as C
 
 __all__ = ["SKPlan", "build_sk_plan", "sk_subm_conv", "subm_key_deltas"]
 
+# NOTE: none of the internal functions here are @jax.jit-decorated — they
+# always run under the caller's jit, and a nested jit inside lax.cond /
+# fori_loop trips an XLA lowering-cache bug (KeyError: 'closed_call') on
+# this jax version.
+
 _LANE = 128
 
 
@@ -78,15 +83,18 @@ def subm_key_deltas(
 
 class SKPlan(NamedTuple):
     ws: jax.Array        # [kv, n_tiles] int32 — 128-aligned window starts
-    present: jax.Array   # [kv, n_tiles] int32 — 1 if tile may match offset
-    fallback: jax.Array  # scalar bool — window overflow or unsorted input
+    nw: jax.Array        # [kv, n_tiles] int32 — windows to sweep (0 = skip)
+    fallback: jax.Array  # scalar bool — too many windows or unsorted input
     tile: int
     window: int
 
 
-@functools.partial(
-    jax.jit, static_argnames=("tile", "window", "deltas", "n_pad")
-)
+# A (offset, tile) whose match span exceeds MAX_NW windows (activity gaps
+# make rank spans much larger than real match spans) forces the layer-wide
+# rulebook fallback; in practice gap tiles need 2-4 windows.
+MAX_NW = 16
+
+
 def build_sk_plan(
     keys: jax.Array,  # [Np] int32 sorted, sentinel-padded
     sentinel,
@@ -95,6 +103,7 @@ def build_sk_plan(
     tile: int,
     window: int,
     n_pad: int,  # padded table length the windows index into
+    align: int = _LANE,  # window-start alignment (original rows)
 ) -> SKPlan:
     """Window plan from tile-boundary ranks.
 
@@ -121,31 +130,98 @@ def build_sk_plan(
     _, ranks = jax.lax.sort((src_s, cnt), num_keys=1, is_stable=False)
     lo = ranks[:npb].reshape(kv, n_tiles)
     n_valid = jnp.sum((keys != sentinel).astype(jnp.int32))
+    # matches only exist among real keys (positions < n_valid): clamp both
+    # bounds there, else a boundary probe at/past the sentinel counts the
+    # pad keys and trips the overflow check spuriously
     hi = jnp.concatenate(
         [lo[:, 1:], jnp.broadcast_to(n_valid, (kv, 1))], axis=1
     )
+    hi = jnp.minimum(hi, n_valid)
+    lo = jnp.minimum(lo, n_valid)
     tile_live = bkeys != sentinel  # tile has at least one real row
     present = (hi > lo) & tile_live[None, :]
-    ws = (lo // _LANE) * _LANE
-    ws = jnp.clip(ws, 0, max(n_pad - window, 0))
-    overflow = jnp.any(present & (hi - ws > window))
+    ws = (lo // align) * align
+    ws = jnp.clip(ws, 0, max((n_pad - window) // align * align, 0))
+    # number of windows sweeping [ws, hi); most tiles need one, tiles at
+    # activity gaps a few — the kernel loops, so any span stays exact
+    nw = jnp.where(present, -(-(hi - ws) // window), 0)
+    overflow = jnp.any(nw > MAX_NW)
     unsorted = jnp.any(keys[1:] < keys[:-1])
     return SKPlan(
         ws=ws.astype(jnp.int32),
-        present=present.astype(jnp.int32),
+        nw=nw.astype(jnp.int32),
         fallback=overflow | unsorted,
         tile=tile,
         window=window,
     )
 
 
+def _probe_coords(kt, dims):
+    """Per-axis coordinates of each tile key for bounds checks (batch
+    never wraps: an out-of-range leading coordinate shifts the key out of
+    the valid range, where no table key exists)."""
+    rem = kt
+    coord = []
+    for s in reversed(dims):
+        coord.append(jax.lax.rem(rem, s))
+        rem = jax.lax.div(rem, s)
+    return coord[::-1]
+
+
+def _offset_probe(kt, live, coord, deltas, dims, k):
+    disp_k = deltas[1][k]
+    ok = live
+    for a in range(len(dims)):
+        da = int(disp_k[a])
+        if da != 0:
+            ok = ok & (coord[a] + da >= 0) & (coord[a] + da < dims[a])
+    return jnp.where(ok, kt + int(deltas[0][k]), -1)
+
+
+def _windowed_gather(probe, k, t, ws_ref, nw_ref, keys_hbm, src_hbm,
+                     wkeys_ref, wsrc_ref, ksem, fsem, tile, window, c):
+    """Sweep ``nw[k, t]`` windows of (keys, rows); return the one-hot
+    gathered rows ``[tile, c]`` (f32).  Windows are disjoint, so each
+    probe matches in exactly one sweep — any match span stays exact."""
+    wr = window // _LANE
+    base = pl.multiple_of(ws_ref[k, t], _LANE)
+
+    def body(wi, g):
+        start = pl.multiple_of(base + wi * window, _LANE)
+        kcp = pltpu.make_async_copy(
+            keys_hbm.at[pl.ds(start // _LANE, wr), :], wkeys_ref, ksem
+        )
+        fcp = pltpu.make_async_copy(
+            src_hbm.at[pl.ds(start, window), :], wsrc_ref, fsem
+        )
+        kcp.start()
+        fcp.start()
+        kcp.wait()
+        # 2-D compares per 128-key row (Mosaic rejects the 3-D broadcast
+        # form: [T]->[T,1,1] is an unsupported shape cast)
+        p2 = probe[:, None]  # [tile, 1]
+        oh = jnp.concatenate(
+            [p2 == wkeys_ref[r][None, :] for r in range(wr)], axis=1
+        )  # [tile, window]
+        fcp.wait()
+        return g + jnp.dot(
+            oh.astype(jnp.bfloat16),
+            wsrc_ref[:].astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+
+    return jax.lax.fori_loop(
+        0, nw_ref[k, t], body, jnp.zeros((tile, c), jnp.float32)
+    )
+
+
 def _sk_fwd_kernel(
     kv, center, tile, window, c, k_ch, deltas, dims, sentinel, out_dtype,
     # scalar prefetch
-    ws_ref, present_ref,
+    ws_ref, nw_ref,
     # inputs
-    kt_ref,      # [1, tile] int32 — this tile's keys
-    ft_ref,      # [tile, c] — this tile's features (center identity)
+    kt_ref,      # [1, 1, tile] int32 - this tile's keys
+    ft_ref,      # [tile, c] - this tile's features (center identity)
     keys_hbm,    # [n_pad/128, 128] int32
     feat_hbm,    # [n_pad, c]
     w_ref,       # [kv*c, k_ch] VMEM
@@ -155,60 +231,28 @@ def _sk_fwd_kernel(
     wkeys_ref, wfeat_ref, gbuf_ref, ksem, fsem,
 ):
     t = pl.program_id(0)
-    kt = kt_ref[0]  # [tile] int32
+    kt = kt_ref[0, 0]  # [tile] int32
     live = kt != sentinel
-
-    # per-axis coordinates for bounds checks (batch never wraps: an
-    # out-of-range leading coordinate shifts the key out of the valid
-    # range, where no table key exists)
-    rem = kt
-    coord = []
-    for s in reversed(dims):
-        coord.append(jax.lax.rem(rem, s))
-        rem = jax.lax.div(rem, s)
-    coord = coord[::-1]  # per spatial axis, minor-last order restored
+    coord = _probe_coords(kt, dims)
 
     gbuf_ref[:, center * c:(center + 1) * c] = ft_ref[:].astype(
         gbuf_ref.dtype
     )
 
-    wr = window // _LANE
-
     for k in range(kv):
         if k == center:
             continue
-        disp_k = deltas[1][k]
-        ok = live
-        for a in range(len(dims)):
-            da = int(disp_k[a])
-            if da != 0:
-                ok = ok & (coord[a] + da >= 0) & (coord[a] + da < dims[a])
-        probe = jnp.where(ok, kt + int(deltas[0][k]), -1)
+        probe = _offset_probe(kt, live, coord, deltas, dims, k)
 
-        @pl.when(present_ref[k, t] == 1)
+        @pl.when(nw_ref[k, t] > 0)
         def _(probe=probe, k=k):
-            start = pl.multiple_of(ws_ref[k, t], _LANE)
-            kcp = pltpu.make_async_copy(
-                keys_hbm.at[pl.ds(start // _LANE, wr), :], wkeys_ref, ksem
-            )
-            fcp = pltpu.make_async_copy(
-                feat_hbm.at[pl.ds(start, window), :], wfeat_ref, fsem
-            )
-            kcp.start()
-            fcp.start()
-            kcp.wait()
-            oh = (
-                probe[:, None, None] == wkeys_ref[:][None, :, :]
-            ).reshape(tile, window)
-            fcp.wait()
-            g = jnp.dot(
-                oh.astype(jnp.bfloat16),
-                wfeat_ref[:].astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32,
+            g = _windowed_gather(
+                probe, k, t, ws_ref, nw_ref, keys_hbm, feat_hbm,
+                wkeys_ref, wfeat_ref, ksem, fsem, tile, window, c,
             )
             gbuf_ref[:, k * c:(k + 1) * c] = g.astype(gbuf_ref.dtype)
 
-        @pl.when(present_ref[k, t] == 0)
+        @pl.when(nw_ref[k, t] == 0)
         def _(k=k):
             gbuf_ref[:, k * c:(k + 1) * c] = jnp.zeros(
                 (tile, c), gbuf_ref.dtype
@@ -222,7 +266,7 @@ def _sk_fwd_kernel(
 
 def _sk_wgrad_kernel(
     kv, center, tile, window, c, k_ch, deltas, dims, sentinel,
-    ws_ref, present_ref,
+    ws_ref, nw_ref,
     kt_ref, ft_ref, dt_ref,  # tile keys, tile features, tile dout
     keys_hbm, feat_hbm,
     out_ref,  # [kv, c, k_ch] accumulated over the grid
@@ -234,56 +278,29 @@ def _sk_wgrad_kernel(
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    kt = kt_ref[0]
+    kt = kt_ref[0, 0]
     live = kt != sentinel
-    rem = kt
-    coord = []
-    for s in reversed(dims):
-        coord.append(jax.lax.rem(rem, s))
-        rem = jax.lax.div(rem, s)
-    coord = coord[::-1]
+    coord = _probe_coords(kt, dims)
 
     dt = dt_ref[:].astype(jnp.bfloat16)  # [tile, k_ch]
 
-    # center: dW[c] += f_tileᵀ @ dout_tile
+    # center: dW[c] += f_tile^T @ dout_tile
     out_ref[center] += jax.lax.dot_general(
         ft_ref[:].astype(jnp.bfloat16), dt,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(out_ref.dtype)
 
-    wr = window // _LANE
     for k in range(kv):
         if k == center:
             continue
-        disp_k = deltas[1][k]
-        ok = live
-        for a in range(len(dims)):
-            da = int(disp_k[a])
-            if da != 0:
-                ok = ok & (coord[a] + da >= 0) & (coord[a] + da < dims[a])
-        probe = jnp.where(ok, kt + int(deltas[0][k]), -1)
+        probe = _offset_probe(kt, live, coord, deltas, dims, k)
 
-        @pl.when(present_ref[k, t] == 1)
+        @pl.when(nw_ref[k, t] > 0)
         def _(probe=probe, k=k):
-            start = pl.multiple_of(ws_ref[k, t], _LANE)
-            kcp = pltpu.make_async_copy(
-                keys_hbm.at[pl.ds(start // _LANE, wr), :], wkeys_ref, ksem
-            )
-            fcp = pltpu.make_async_copy(
-                feat_hbm.at[pl.ds(start, window), :], wfeat_ref, fsem
-            )
-            kcp.start()
-            fcp.start()
-            kcp.wait()
-            oh = (
-                probe[:, None, None] == wkeys_ref[:][None, :, :]
-            ).reshape(tile, window)
-            fcp.wait()
-            g = jnp.dot(
-                oh.astype(jnp.bfloat16),
-                wfeat_ref[:].astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32,
+            g = _windowed_gather(
+                probe, k, t, ws_ref, nw_ref, keys_hbm, feat_hbm,
+                wkeys_ref, wfeat_ref, ksem, fsem, tile, window, c,
             )  # [tile, c] gathered features
             out_ref[k] += jax.lax.dot_general(
                 g.astype(jnp.bfloat16), dt,
@@ -299,11 +316,6 @@ def _pad_rows(x: jax.Array, n_pad: int, fill) -> jax.Array:
     return jnp.concatenate([x, pad], axis=0)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("deltas_key", "disp", "dims", "sentinel_i", "tile",
-                     "window", "interpret"),
-)
 def _sk_conv_call(
     features, keys, weight_kv, plan,
     *, deltas_key, disp, dims, sentinel_i, tile, window, interpret=False,
@@ -319,7 +331,7 @@ def _sk_conv_call(
 
     keys_p = _pad_rows(keys, n_pad, sentinel_i)
     feat_p = _pad_rows(features, n_pad, 0)
-    keys_tiles = keys_p[:np_t].reshape(n_tiles, tile)
+    keys_tiles = keys_p[:np_t].reshape(n_tiles, 1, tile)
     keys2d = keys_p.reshape(n_pad // _LANE, _LANE)
     wflat = jnp.transpose(weight_kv, (0, 1, 2)).reshape(kv * c, k_ch)
 
@@ -331,7 +343,7 @@ def _sk_conv_call(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, tile), lambda t, *_: (t, 0),
+            pl.BlockSpec((1, 1, tile), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, c), lambda t, *_: (t, 0),
                          memory_space=pltpu.VMEM),
@@ -359,16 +371,11 @@ def _sk_conv_call(
         out_shape=jax.ShapeDtypeStruct((n_tiles, tile, k_ch),
                                        features.dtype),
         interpret=interpret,
-    )(plan.ws, plan.present, keys_tiles, feat_p[:np_t], keys2d, feat_p,
+    )(plan.ws, plan.nw, keys_tiles, feat_p[:np_t], keys2d, feat_p,
       wflat.astype(jnp.bfloat16))
     return out.reshape(np_t, k_ch)[:n]
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("deltas_key", "disp", "dims", "sentinel_i", "tile",
-                     "window", "kv", "interpret"),
-)
 def _sk_wgrad_call(
     features, dout, keys, plan,
     *, deltas_key, disp, dims, sentinel_i, tile, window, kv,
@@ -384,7 +391,7 @@ def _sk_wgrad_call(
     keys_p = _pad_rows(keys, n_pad, sentinel_i)
     feat_p = _pad_rows(features, n_pad, 0)
     dout_p = _pad_rows(dout, np_t, 0)
-    keys_tiles = keys_p[:np_t].reshape(n_tiles, tile)
+    keys_tiles = keys_p[:np_t].reshape(n_tiles, 1, tile)
     keys2d = keys_p.reshape(n_pad // _LANE, _LANE)
 
     deltas = (np.asarray(deltas_key, np.int32),
@@ -395,7 +402,7 @@ def _sk_wgrad_call(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, tile), lambda t, *_: (t, 0),
+            pl.BlockSpec((1, 1, tile), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, c), lambda t, *_: (t, 0),
                          memory_space=pltpu.VMEM),
@@ -422,7 +429,7 @@ def _sk_wgrad_call(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((kv, c, k_ch), jnp.float32),
         interpret=interpret,
-    )(plan.ws, plan.present, keys_tiles, feat_p[:np_t], dout_p, keys2d,
+    )(plan.ws, plan.nw, keys_tiles, feat_p[:np_t], dout_p, keys2d,
       feat_p)
     return out
 
@@ -478,10 +485,9 @@ def _sk_conv_bwd(geom, res, g):
     ).astype(weight_kv.dtype)
     zf = jax.dtypes.float0
     return (din, np.zeros(keys.shape, dtype=zf), dw,
-            (jax.tree_util.tree_map(
-                lambda x: np.zeros(x.shape, dtype=zf), plan_fwd),
-             jax.tree_util.tree_map(
-                 lambda x: np.zeros(x.shape, dtype=zf), plan_bwd)))
+            jax.tree_util.tree_map(
+                lambda x: np.zeros(np.shape(x), dtype=zf),
+                (plan_fwd, plan_bwd)))
 
 
 _sk_conv.defvjp(_sk_conv_fwd, _sk_conv_bwd)
@@ -551,7 +557,9 @@ def sk_subm_conv(
         from ..rulebook import build_subm_rulebook
         from ..gather_gemm import indice_conv
 
-        data = build_subm_rulebook(
+        # __wrapped__: a jitted call inside lax.cond trips an XLA lowering
+        # cache bug (KeyError: closed_call) on this jax version
+        data = build_subm_rulebook.__wrapped__(
             indices, spatial_shape=dims, batch_size=batch_size,
             ksize=ksize, dilation=dilation,
         )
