@@ -102,7 +102,10 @@ class SparseConvolution(Module):
         self.inverse = inverse
         self.subm = subm
         self.indice_key = indice_key
-        self.algo = algo or "native"
+        # None/"auto" resolves per call via the tuner (reference parity:
+        # ConvAlgo auto-selection, conv.py:110-125; tuner cache-key design
+        # convops.py:1283-1301)
+        self.algo = algo or "auto"
         self.fp32_accum = True if fp32_accum is None else fp32_accum
         self.out_bound = out_bound
         self.out_bound_ratio = out_bound_ratio
@@ -179,14 +182,33 @@ class SparseConvolution(Module):
             out.features = out_feat
             return out
 
+        algo = self.algo
+        if algo == "auto":
+            from ..tuner import CONV_TUNER
+
+            kv = int(np.prod(self.kernel_size))
+            algo = CONV_TUNER.select_algo(
+                subm=self.subm,
+                sk_supported=self._sk_supported(input),
+                n=int(indices.shape[0]), c=self.in_channels,
+                k=self.out_channels, kv=kv, dtype=str(features.dtype),
+            )
+
         if (
-            self.algo == "block"
+            algo == "block"
             and 1 <= self.ndim <= 3
             and not self.transposed
             and not self.inverse
             and not self.conv1x1
         ):
             return self._call_block(input, add_input)
+
+        if algo == "sk" and self._sk_supported(input):
+            return self._call_sk(input, add_input)
+        if algo in ("sk", "block"):
+            # requested specialized path not applicable here — use the
+            # native gather path for the compute
+            algo = "native"
 
         if self.inverse:
             data = input.find_indice_pair(self.indice_key)
@@ -307,7 +329,7 @@ class SparseConvolution(Module):
             pair_bwd,
             is_subm=is_subm,
             fp32_accum=self.fp32_accum,
-            algo=self.algo,
+            algo=algo,
         )
         out_valid = out_indices[:, 0] >= 0
         out_feat = bias_add_act(
@@ -336,6 +358,88 @@ class SparseConvolution(Module):
         )
         if new_data is not None and self.indice_key is not None:
             out.indice_dict[self.indice_key] = new_data
+        return out
+
+    # ------------------------------------------------------------------
+    def _sk_supported(self, input: SparseConvTensor) -> bool:
+        """The fused sorted-key kernel handles subm convs on single-word
+        key grids (any ndim, odd ksize — guaranteed by subm)."""
+        return (
+            self.subm
+            and not self.transposed
+            and not self.inverse
+            and not C.use_pair_keys(input.spatial_shape, input.batch_size)
+        )
+
+    def _call_sk(
+        self,
+        input: SparseConvTensor,
+        add_input: Optional[SparseConvTensor] = None,
+    ) -> SparseConvTensor:
+        """Fused sorted-key subm conv (``ops/pallas/sorted_conv.py``):
+        rulebook-free — the key join happens inside the kernel.  Keys and
+        window plans are cached per (indice_key, geometry)."""
+        from ..ops.pallas import sorted_conv as SK
+
+        features = input.features
+        indices = input.indices
+        spatial_shape = tuple(int(s) for s in input.spatial_shape)
+        batch_size = input.batch_size
+        tile, window = 128, 384  # measured best at bench sizes (v5e)
+        interpret = jax.default_backend() == "cpu"
+
+        ck = SK.SKData.cache_key(
+            self.indice_key, self.kernel_size, self.dilation, tile, window
+        ) if self.indice_key is not None else None
+        rec = input.indice_dict.get(ck) if ck else None
+        new_rec = None
+        if rec is not None and isinstance(rec, SK.SKData):
+            keys = rec.keys
+            plans = rec.plans
+        else:
+            keys, _sent = C.linearize(indices, spatial_shape, batch_size)
+            deltas_np, _ = SK.subm_key_deltas(
+                self.kernel_size, self.dilation, spatial_shape
+            )
+            groups = SK.sk_groups(self.kernel_size)
+            sent_i = int(np.prod(spatial_shape)) * int(batch_size)
+            n = keys.shape[0]
+            np_t, n_pad = SK._n_pad_for(n, tile, window)
+            keys_p = SK._pad_rows(keys, np_t, sent_i)
+            plans = SK.build_sk_plans(
+                keys_p, sent_i, deltas_np, groups, tile=tile,
+                window=window, n_pad=n_pad,
+            )
+            if ck:
+                new_rec = SK.SKData(
+                    keys, plans, ksize=self.kernel_size,
+                    dilation=self.dilation, spatial_shape=spatial_shape,
+                    tile=tile, window=window,
+                )
+
+        out_feat = SK.sk_subm_conv(
+            features, indices, keys, self.weight,
+            spatial_shape=spatial_shape, batch_size=batch_size,
+            dilation=self.dilation, tile=tile, window=window,
+            plans=plans, interpret=interpret,
+        )
+        out_feat = bias_add_act(
+            out_feat, self.bias, self.act_type, self.act_alpha,
+            self.act_beta,
+            add_input.features if add_input is not None else None,
+        )
+        out_feat = jnp.where(input.valid_mask[:, None], out_feat, 0)
+        out = SparseConvTensor(
+            out_feat,
+            indices,
+            input.spatial_shape,
+            batch_size,
+            num_voxels=input.num_voxels,
+            indice_dict=dict(input.indice_dict),
+            benchmark=input.benchmark,
+        )
+        if new_rec is not None:
+            out.indice_dict[ck] = new_rec
         return out
 
     def _call_block(

@@ -56,10 +56,19 @@ def _clamp_pairs(pair: jax.Array, zero_row: int) -> jax.Array:
     return jnp.where(pair >= 0, pair, zero_row)
 
 
-def _chunks(ks: list, n: int, c: int) -> list:
+def _chunks(ks: list, n: int, c: int, dtype: str = "bfloat16") -> list:
     if not ks:
         return []
-    per = max(1, min(len(ks), _CHUNK_BUDGET // max(1, n * c)))
+    # a tuned winner (CONV_TUNER cache, reference cache-key design
+    # convops.py:1283-1301) overrides the VMEM-budget heuristic
+    from ..tuner import CONV_TUNER
+
+    params = CONV_TUNER.get_tuned_params(
+        "gather_mm", n, c, 0, len(ks), dtype)
+    if params.get("source") == "tuned" and "chunk" in params:
+        per = max(1, min(len(ks), int(params["chunk"])))
+    else:
+        per = max(1, min(len(ks), _CHUNK_BUDGET // max(1, n * c)))
     return [ks[i : i + per] for i in range(0, len(ks), per)]
 
 

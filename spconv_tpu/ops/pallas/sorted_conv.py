@@ -6,38 +6,45 @@ of materializing indice pairs at all, the kernel joins, gathers and
 contracts in one pass over the *sorted linearized keys* of the active
 sites.
 
-Key observations (all measured, tools/probe_sort2.py, DESIGN_NOTES.md):
+Design (v5 — measured on a v5e, tools/probe_sk_v3.py ablations):
 
-* XLA's row gather runs at ~200-250 GB/s and int32 element ops at
-  ~0.15-0.2 G/s — both far below HBM speed — while sorts cost ~1.5 ms per
-  M elements.  Any rulebook-then-gather pipeline pays these walls per
-  layer.
-* When the tensor's rows are sorted by linearized coordinate key (an
-  invariant every builder in this framework already maintains), the rows
-  matching ``keys + Δ_k`` for a fixed filter-offset key-shift ``Δ_k`` lie
-  in a narrow contiguous window per output tile.  The match itself is an
-  equality compare — the "hash probe" *is* the one-hot matrix the MXU
-  gather needs anyway.
+* When rows are sorted by linearized coordinate key (an invariant every
+  builder in this framework maintains), the rows matching ``keys + Δ_k``
+  for a filter-offset key-shift ``Δ_k`` lie in a narrow contiguous window
+  per output tile, and offsets sharing a leading-axis displacement (a
+  "dz-plane" of the kernel) have windows within a few rows of each other.
+  The kernel DMAs ONE window per plane (3 for a 3×3×3 kernel instead of
+  26) and double-buffers the (tile, plane) window stream so DMA latency
+  hides behind compute.
+* The join is an equality compare ``probe[:, None] == window_keys`` whose
+  result IS the one-hot matrix the MXU gather needs; matches provably lie
+  inside ``[lo, hi)`` of the plan, so comparing against a covering
+  superset of DMA'd rows is harmless — window starts only need the DMA's
+  native alignment, with no shifted-copy gymnastics for features.
+* Features are lane-padded to a multiple of 128 (``c_pad``) so the row
+  windows are legal DMA slices; the weight GEMM's padded rows are zero so
+  no masking is needed anywhere.  (A 2-row-packed variant measured faster
+  DMA but pays an expensive per-slot selection — rejected.)
+* Keys are kept as 8 row-shifted copies (``NSH``) so the int32 key-window
+  DMA start can always be snapped to an 8-sublane-aligned row.
 
-Per (tile, offset) the kernel: DMAs the key window + feature window
-HBM→VMEM (contiguous, full bandwidth), builds the one-hot as
-``probe[:, None] == key_window[None, :]``, gathers via one-hot × window on
-the MXU, and accumulates all offsets through a single deep GEMM
-``[T, kv·C] @ [kv·C, K]``.  Absent (offset, tile) combinations are
-skipped entirely using window ranks (the role of the reference's
-mask_argsort tile scheduling, ``spconv/pytorch/ops.py:766-785``) — on
-LiDAR scans most tiles touch far fewer than ``kv`` offsets.
+Per (tile, plane): DMA key+feature windows HBM→VMEM; per offset of the
+plane build the one-hot and gather via one MXU matmul (batched across the
+plane's offsets); all offsets accumulate through a single deep GEMM
+``[T, kv·c_pad] @ [kv·c_pad, K]``.  Skipping absent (plane, tile)
+combinations plays the role of the reference's mask_argsort tile
+scheduling (``spconv/pytorch/ops.py:766-785``).
 
 The same kernel computes dgrad (probes ``−Δ`` ≡ reversed offsets, weights
-transposed — the reference's ``reverse_mask`` trick,
-``convops.py:2247``); a sibling kernel accumulates wgrad per tile
-(``mask_output`` role, ``ops.py:1606-1614``).
+transposed — the reference's ``reverse_mask`` trick, ``convops.py:2247``);
+a sibling kernel accumulates wgrad per tile (``mask_output`` role,
+``ops.py:1606-1614``).
 
-Plan (window starts / presence / overflow) is a cheap XLA computation on
-tile-boundary ranks; it depends only on the keys, so layers sharing an
-``indice_key`` reuse it.  Any overflow (window too narrow), unsorted
-input, or huge grid (two-word keys) falls back to the rulebook+gather
-path via ``lax.cond``.
+The plan (window starts / counts / overflow) is a cheap XLA computation
+on tile-boundary ranks; it depends only on the keys, so layers sharing an
+``indice_key`` reuse it.  Overflow (> MAX_NW windows for some tile),
+unsorted input, or huge grids (two-word keys) fall back to the
+rulebook+gather path via ``lax.cond``.
 """
 
 from __future__ import annotations
@@ -53,7 +60,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import coords as C
 
-__all__ = ["SKPlan", "build_sk_plan", "sk_subm_conv", "subm_key_deltas"]
+__all__ = [
+    "SKPlan", "build_sk_plans", "sk_subm_conv", "subm_key_deltas",
+    "sk_groups", "prep_keys_sh", "SKData",
+]
 
 # NOTE: none of the internal functions here are @jax.jit-decorated — they
 # always run under the caller's jit, and a nested jit inside lax.cond /
@@ -61,6 +71,13 @@ __all__ = ["SKPlan", "build_sk_plan", "sk_subm_conv", "subm_key_deltas"]
 # this jax version.
 
 _LANE = 128
+_ALIGN = 128   # window-start alignment (original rows)
+NSH = 8        # shifted key copies (8-sublane-aligned key DMA)
+
+# A (plane, tile) whose match span exceeds MAX_NW windows (activity gaps
+# make rank spans much larger than real match spans) forces the layer-wide
+# rulebook fallback; in practice gap tiles need 2-4 windows.
+MAX_NW = 24
 
 
 def subm_key_deltas(
@@ -81,29 +98,37 @@ def subm_key_deltas(
     return deltas.astype(np.int32), disp.astype(np.int32)
 
 
+def sk_groups(ksize: Sequence[int]) -> Tuple[Tuple[int, ...], ...]:
+    """Offsets grouped by leading-axis displacement ("planes"): their key
+    shifts differ by at most a few minor-axis strides, so one window per
+    group covers all members.  The center offset is excluded (identity)."""
+    kv = int(np.prod([int(k) for k in ksize]))
+    center = kv // 2
+    lead = int(np.prod([int(k) for k in ksize[1:]])) if len(ksize) > 1 \
+        else 1
+    groups = []
+    for g0 in range(0, kv, lead):
+        g = tuple(k for k in range(g0, g0 + lead) if k != center)
+        if g:
+            groups.append(g)
+    return tuple(groups)
+
+
 class SKPlan(NamedTuple):
-    ws: jax.Array        # [kv, n_tiles] int32 — 128-aligned window starts
-    nw: jax.Array        # [kv, n_tiles] int32 — windows to sweep (0 = skip)
+    ws: jax.Array        # [G, n_tiles] int32 — aligned window starts
+    nw: jax.Array        # [G, n_tiles] int32 — windows to sweep (0 = skip)
     fallback: jax.Array  # scalar bool — too many windows or unsorted input
-    tile: int
-    window: int
 
 
-# A (offset, tile) whose match span exceeds MAX_NW windows (activity gaps
-# make rank spans much larger than real match spans) forces the layer-wide
-# rulebook fallback; in practice gap tiles need 2-4 windows.
-MAX_NW = 16
-
-
-def build_sk_plan(
-    keys: jax.Array,  # [Np] int32 sorted, sentinel-padded
+def _build_sk_plan(
+    keys: jax.Array,  # [Np] int32 sorted, sentinel-padded, Np % tile == 0
     sentinel,
     *,
-    deltas: Tuple[int, ...],  # static per-offset key shifts (incl. center)
+    deltas: Tuple[int, ...],
+    groups: Tuple[Tuple[int, ...], ...],
     tile: int,
     window: int,
-    n_pad: int,  # padded table length the windows index into
-    align: int = _LANE,  # window-start alignment (original rows)
+    n_pad: int,
 ) -> SKPlan:
     """Window plan from tile-boundary ranks.
 
@@ -111,7 +136,8 @@ def build_sk_plan(
     the first possible match row; ``hi = lo[k, t+1]`` bounds the last.
     Ranks come from ONE sort of [boundary probes ‖ keys] (probes sort
     before equal table keys) + cumsum — no searchsorted (measured 30×
-    slower than a sort on TPU).
+    slower than a sort on TPU).  Per group the window covers
+    ``[min lo, max hi)`` of its members.
     """
     np_ = keys.shape[0]
     assert np_ % tile == 0
@@ -139,21 +165,63 @@ def build_sk_plan(
     hi = jnp.minimum(hi, n_valid)
     lo = jnp.minimum(lo, n_valid)
     tile_live = bkeys != sentinel  # tile has at least one real row
-    present = (hi > lo) & tile_live[None, :]
-    ws = (lo // align) * align
-    ws = jnp.clip(ws, 0, max((n_pad - window) // align * align, 0))
-    # number of windows sweeping [ws, hi); most tiles need one, tiles at
+
+    glo = jnp.stack(
+        [jnp.min(jnp.stack([lo[k] for k in g]), axis=0) for g in groups]
+    )  # [G, n_tiles]
+    ghi = jnp.stack(
+        [jnp.max(jnp.stack([hi[k] for k in g]), axis=0) for g in groups]
+    )
+    present = (ghi > glo) & tile_live[None, :]
+    ws = (glo // _ALIGN) * _ALIGN
+    ws = jnp.clip(ws, 0, max((n_pad - window) // _ALIGN * _ALIGN, 0))
+    # number of windows sweeping [ws, ghi); most tiles need one, tiles at
     # activity gaps a few — the kernel loops, so any span stays exact
-    nw = jnp.where(present, -(-(hi - ws) // window), 0)
+    nw = jnp.where(present, -(-(ghi - ws) // window), 0)
     overflow = jnp.any(nw > MAX_NW)
     unsorted = jnp.any(keys[1:] < keys[:-1])
     return SKPlan(
         ws=ws.astype(jnp.int32),
         nw=nw.astype(jnp.int32),
         fallback=overflow | unsorted,
-        tile=tile,
-        window=window,
     )
+
+
+def build_sk_plans(keys, sentinel, deltas_np, groups, *, tile, window,
+                   n_pad):
+    """(fwd, bwd) plans — bwd probes are the reversed (negated) deltas.
+    ``keys``: [Np] sorted sentinel-padded with Np % tile == 0."""
+    fwd = _build_sk_plan(
+        keys, sentinel,
+        deltas=tuple(int(d) for d in deltas_np), groups=groups,
+        tile=tile, window=window, n_pad=n_pad,
+    )
+    bwd = _build_sk_plan(
+        keys, sentinel,
+        deltas=tuple(int(-d) for d in deltas_np), groups=groups,
+        tile=tile, window=window, n_pad=n_pad,
+    )
+    return fwd, bwd
+
+
+def prep_keys_sh(keys_pad: jax.Array) -> jax.Array:
+    """8 row-shifted copies of the padded key table, [NSH, rows, 128]:
+    copy ``i`` row ``r`` holds ``keys_pad[128*(i+r) : 128*(i+r)+128]``,
+    so any 128-row-aligned window start maps to an 8-aligned DMA row in
+    copy ``(start/128) % 8``."""
+    n_pad = keys_pad.shape[0]
+    assert n_pad % _LANE == 0
+    rows = n_pad // _LANE
+    out = []
+    for i in range(NSH):
+        shifted = jnp.concatenate(
+            [keys_pad[i * _LANE:],
+             jnp.full((i * _LANE + NSH * _LANE,), np.int32(2**31 - 1),
+                      jnp.int32)]
+        )
+        out.append(shifted[: (rows + NSH) * _LANE].reshape(rows + NSH,
+                                                           _LANE))
+    return jnp.stack(out)  # [NSH, rows + NSH, 128]
 
 
 def _probe_coords(kt, dims):
@@ -178,84 +246,151 @@ def _offset_probe(kt, live, coord, deltas, dims, k):
     return jnp.where(ok, kt + int(deltas[0][k]), -1)
 
 
-def _windowed_gather(probe, k, t, ws_ref, nw_ref, keys_hbm, src_hbm,
-                     wkeys_ref, wsrc_ref, ksem, fsem, tile, window, c):
-    """Sweep ``nw[k, t]`` windows of (keys, rows); return the one-hot
-    gathered rows ``[tile, c]`` (f32).  Windows are disjoint, so each
-    probe matches in exactly one sweep — any match span stays exact."""
+def _plane_gather(wk, wf, probes, tile, window, c_pad):
+    """One-hot gather of every offset of the plane from the shared window.
+
+    ``wk``: [window/128 (+slack), 128] int32 window keys; ``wf``:
+    [window, c_pad] features.  Returns a list of [tile, c_pad] f32
+    gathered rows, one per probe.  2-D compares per 128-key row (Mosaic
+    rejects the 3-D broadcast form), batched into one MXU matmul across
+    the plane's offsets."""
     wr = window // _LANE
-    base = pl.multiple_of(ws_ref[k, t], _LANE)
-
-    def body(wi, g):
-        start = pl.multiple_of(base + wi * window, _LANE)
-        kcp = pltpu.make_async_copy(
-            keys_hbm.at[pl.ds(start // _LANE, wr), :], wkeys_ref, ksem
-        )
-        fcp = pltpu.make_async_copy(
-            src_hbm.at[pl.ds(start, window), :], wsrc_ref, fsem
-        )
-        kcp.start()
-        fcp.start()
-        kcp.wait()
-        # 2-D compares per 128-key row (Mosaic rejects the 3-D broadcast
-        # form: [T]->[T,1,1] is an unsupported shape cast)
+    ohs = []
+    for probe in probes:
         p2 = probe[:, None]  # [tile, 1]
-        oh = jnp.concatenate(
-            [p2 == wkeys_ref[r][None, :] for r in range(wr)], axis=1
-        )  # [tile, window]
-        fcp.wait()
-        return g + jnp.dot(
-            oh.astype(jnp.bfloat16),
-            wsrc_ref[:].astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32,
-        )
-
-    return jax.lax.fori_loop(
-        0, nw_ref[k, t], body, jnp.zeros((tile, c), jnp.float32)
-    )
+        ohs.append(jnp.concatenate(
+            [p2 == wk[r][None, :] for r in range(wr)], axis=1
+        ))  # [tile, window]
+    big = jnp.concatenate(ohs, axis=0)  # [g*tile, window]
+    g2 = jnp.dot(
+        big.astype(jnp.bfloat16), wf.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )  # [g*tile, c_pad]
+    return [g2[i * tile:(i + 1) * tile] for i in range(len(probes))]
 
 
 def _sk_fwd_kernel(
-    kv, center, tile, window, c, k_ch, deltas, dims, sentinel, out_dtype,
+    kv, center, tile, window, c_pad, k_pad, deltas, dims, sentinel,
+    groups, n_tiles,
     # scalar prefetch
     ws_ref, nw_ref,
     # inputs
     kt_ref,      # [1, 1, tile] int32 - this tile's keys
-    ft_ref,      # [tile, c] - this tile's features (center identity)
-    keys_hbm,    # [n_pad/128, 128] int32
-    feat_hbm,    # [n_pad, c]
-    w_ref,       # [kv*c, k_ch] VMEM
+    ft_ref,      # [tile, c_pad] - this tile's features (center identity)
+    ksh_hbm,     # [NSH, rows + NSH, 128] int32
+    feat_hbm,    # [n_pad, c_pad]
+    w_ref,       # [kv*c_pad, k_pad] VMEM
     # output
-    out_ref,     # [1, tile, k_ch]
+    out_ref,     # [1, tile, k_pad]
     # scratch
-    wkeys_ref, wfeat_ref, gbuf_ref, ksem, fsem,
+    wk2_ref, wf2_ref, wk1_ref, wf1_ref, gbuf_ref,
+    ksem2, fsem2, ksem1, fsem1,
 ):
     t = pl.program_id(0)
+    n_planes = len(groups)
+    wr = window // _LANE
+
     kt = kt_ref[0, 0]  # [tile] int32
     live = kt != sentinel
     coord = _probe_coords(kt, dims)
 
-    gbuf_ref[:, center * c:(center + 1) * c] = ft_ref[:].astype(
+    def start_dma2(step, buf):
+        """Window-0 DMA for flattened step (= t*n_planes + p) into
+        pipeline buffer ``buf``."""
+        tt = step // n_planes
+        pp = step % n_planes
+        base = ws_ref[pp, tt]
+        m = base // _LANE
+        ish = jax.lax.rem(m, NSH)
+        r0 = pl.multiple_of(m - ish, NSH)
+        pltpu.make_async_copy(
+            ksh_hbm.at[ish, pl.ds(r0, wr), :], wk2_ref.at[buf],
+            ksem2.at[buf],
+        ).start()
+        pltpu.make_async_copy(
+            feat_hbm.at[pl.ds(pl.multiple_of(base, _ALIGN), window), :],
+            wf2_ref.at[buf], fsem2.at[buf],
+        ).start()
+
+    def start_dma1(pp, wi, buf):
+        base = ws_ref[pp, t] + wi * window
+        m = base // _LANE
+        ish = jax.lax.rem(m, NSH)
+        r0 = pl.multiple_of(m - ish, NSH)
+        pltpu.make_async_copy(
+            ksh_hbm.at[ish, pl.ds(r0, wr), :], wk1_ref.at[buf],
+            ksem1.at[buf],
+        ).start()
+        pltpu.make_async_copy(
+            feat_hbm.at[pl.ds(pl.multiple_of(base, _ALIGN), window), :],
+            wf1_ref.at[buf], fsem1.at[buf],
+        ).start()
+
+    gbuf_ref[:, center * c_pad:(center + 1) * c_pad] = ft_ref[:].astype(
         gbuf_ref.dtype
     )
 
-    for k in range(kv):
-        if k == center:
-            continue
-        probe = _offset_probe(kt, live, coord, deltas, dims, k)
+    for p, grp in enumerate(groups):
+        s = t * n_planes + p
+        buf = s % 2
+        if p == 0:
+            @pl.when(t == 0)
+            def _():
+                start_dma2(0, 0)
+        # prefetch next (tile, plane) step
+        @pl.when(s + 1 < n_tiles * n_planes)
+        def _(s=s):
+            start_dma2(s + 1, (s + 1) % 2)
 
-        @pl.when(nw_ref[k, t] > 0)
-        def _(probe=probe, k=k):
-            g = _windowed_gather(
-                probe, k, t, ws_ref, nw_ref, keys_hbm, feat_hbm,
-                wkeys_ref, wfeat_ref, ksem, fsem, tile, window, c,
-            )
-            gbuf_ref[:, k * c:(k + 1) * c] = g.astype(gbuf_ref.dtype)
+        pltpu.make_async_copy(
+            ksh_hbm.at[0, pl.ds(0, wr), :], wk2_ref.at[buf],
+            ksem2.at[buf],
+        ).wait()
+        pltpu.make_async_copy(
+            feat_hbm.at[pl.ds(0, window), :], wf2_ref.at[buf],
+            fsem2.at[buf],
+        ).wait()
 
-        @pl.when(nw_ref[k, t] == 0)
-        def _(k=k):
-            gbuf_ref[:, k * c:(k + 1) * c] = jnp.zeros(
-                (tile, c), gbuf_ref.dtype
+        probes = [_offset_probe(kt, live, coord, deltas, dims, k)
+                  for k in grp]
+        nw = nw_ref[p, t]
+
+        # start window-1 DMA (if any) before computing window 0 so the
+        # extra-window sweep overlaps the first matmul
+        @pl.when(nw > 1)
+        def _(p=p):
+            start_dma1(p, 1, 1)
+
+        outs = _plane_gather(wk2_ref[buf], wf2_ref[buf], probes, tile,
+                             window, c_pad)
+
+        # rare extra windows: double-buffered serial sweep (buf = wi % 2)
+        def extra(wi, accs, p=p, probes=probes):
+            sb = jax.lax.rem(wi, 2)
+
+            @pl.when(wi + 1 < nw)
+            def _():
+                start_dma1(p, wi + 1, jax.lax.rem(wi + 1, 2))
+            pltpu.make_async_copy(
+                ksh_hbm.at[0, pl.ds(0, wr), :], wk1_ref.at[0],
+                ksem1.at[sb],
+            ).wait()
+            pltpu.make_async_copy(
+                feat_hbm.at[pl.ds(0, window), :], wf1_ref.at[0],
+                fsem1.at[sb],
+            ).wait()
+            eo = _plane_gather(wk1_ref[sb], wf1_ref[sb], probes, tile,
+                               window, c_pad)
+            return [a + e for a, e in zip(accs, eo)]
+
+        outs = jax.lax.fori_loop(1, nw, extra, outs)
+
+        dead = nw == 0
+        for i, k in enumerate(grp):
+            val = jnp.where(dead, jnp.zeros((tile, c_pad), jnp.float32),
+                            outs[i])
+            gbuf_ref[:, k * c_pad:(k + 1) * c_pad] = val.astype(
+                gbuf_ref.dtype
             )
 
     out = jnp.dot(
@@ -264,49 +399,151 @@ def _sk_fwd_kernel(
     out_ref[0] = out.astype(out_ref.dtype)
 
 
-def _sk_wgrad_kernel(
-    kv, center, tile, window, c, k_ch, deltas, dims, sentinel,
+def _sk_bwd_kernel(
+    kv, center, tile, window, c_pad, k_pad, deltas, dims, sentinel,
+    groups, n_tiles,
     ws_ref, nw_ref,
-    kt_ref, ft_ref, dt_ref,  # tile keys, tile features, tile dout
-    keys_hbm, feat_hbm,
-    out_ref,  # [kv, c, k_ch] accumulated over the grid
-    wkeys_ref, wfeat_ref, ksem, fsem,
+    kt_ref,      # [1, 1, tile] keys
+    ft_ref,      # [tile, c_pad] forward features (for wgrad)
+    dt_ref,      # [tile, k_pad] dout tile (center gather identity)
+    ksh_hbm,     # shifted key copies
+    dout_hbm,    # [n_pad, k_pad] padded dout table
+    wrev_ref,    # [kv*k_pad, c_pad] W[k]^T blocks (dgrad weights)
+    # outputs
+    din_ref,     # [1, tile, c_pad]
+    dw_ref,      # [kv, c_pad, k_pad] accumulated over the grid
+    # scratch
+    wk2_ref, wf2_ref, wk1_ref, wf1_ref, gbuf_ref,
+    ksem2, fsem2, ksem1, fsem1,
 ):
+    """Fused backward: ONE windowed gather of dout at the reversed-offset
+    probes yields both dgrad (``din = Σ_k g_k @ W[k]ᵀ``) and wgrad
+    (``dW[k] += f_tileᵀ @ g_k``) — the reference computes these as two
+    separate kernel families (``convops.py:2247`` reverse_mask dgrad +
+    ``ops.py:1606-1614`` mask_output wgrad); on TPU sharing the gather
+    halves backward time."""
     t = pl.program_id(0)
+    n_planes = len(groups)
+    wr = window // _LANE
 
     @pl.when(t == 0)
     def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
+        dw_ref[:] = jnp.zeros_like(dw_ref)
 
     kt = kt_ref[0, 0]
     live = kt != sentinel
     coord = _probe_coords(kt, dims)
 
-    dt = dt_ref[:].astype(jnp.bfloat16)  # [tile, k_ch]
+    def start_dma2(step, buf):
+        tt = step // n_planes
+        pp = step % n_planes
+        base = ws_ref[pp, tt]
+        m = base // _LANE
+        ish = jax.lax.rem(m, NSH)
+        r0 = pl.multiple_of(m - ish, NSH)
+        pltpu.make_async_copy(
+            ksh_hbm.at[ish, pl.ds(r0, wr), :], wk2_ref.at[buf],
+            ksem2.at[buf],
+        ).start()
+        pltpu.make_async_copy(
+            dout_hbm.at[pl.ds(pl.multiple_of(base, _ALIGN), window), :],
+            wf2_ref.at[buf], fsem2.at[buf],
+        ).start()
 
-    # center: dW[c] += f_tile^T @ dout_tile
-    out_ref[center] += jax.lax.dot_general(
-        ft_ref[:].astype(jnp.bfloat16), dt,
+    def start_dma1(pp, wi, buf):
+        base = ws_ref[pp, t] + wi * window
+        m = base // _LANE
+        ish = jax.lax.rem(m, NSH)
+        r0 = pl.multiple_of(m - ish, NSH)
+        pltpu.make_async_copy(
+            ksh_hbm.at[ish, pl.ds(r0, wr), :], wk1_ref.at[buf],
+            ksem1.at[buf],
+        ).start()
+        pltpu.make_async_copy(
+            dout_hbm.at[pl.ds(pl.multiple_of(base, _ALIGN), window), :],
+            wf1_ref.at[buf], fsem1.at[buf],
+        ).start()
+
+    ftb = ft_ref[:].astype(jnp.bfloat16)   # [tile, c_pad]
+    dt = dt_ref[:].astype(jnp.bfloat16)    # [tile, k_pad]
+
+    # center: gather identity — din gets dt @ W[center]ᵀ via gbuf, and
+    # dW[center] += f_tileᵀ @ dout_tile
+    gbuf_ref[:, center * k_pad:(center + 1) * k_pad] = dt
+    dw_ref[center] += jax.lax.dot_general(
+        ftb, dt,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(out_ref.dtype)
+    ).astype(dw_ref.dtype)
 
-    for k in range(kv):
-        if k == center:
-            continue
-        probe = _offset_probe(kt, live, coord, deltas, dims, k)
+    for p, grp in enumerate(groups):
+        s = t * n_planes + p
+        buf = s % 2
+        if p == 0:
+            @pl.when(t == 0)
+            def _():
+                start_dma2(0, 0)
 
-        @pl.when(nw_ref[k, t] > 0)
-        def _(probe=probe, k=k):
-            g = _windowed_gather(
-                probe, k, t, ws_ref, nw_ref, keys_hbm, feat_hbm,
-                wkeys_ref, wfeat_ref, ksem, fsem, tile, window, c,
-            )  # [tile, c] gathered features
-            out_ref[k] += jax.lax.dot_general(
-                g.astype(jnp.bfloat16), dt,
+        @pl.when(s + 1 < n_tiles * n_planes)
+        def _(s=s):
+            start_dma2(s + 1, (s + 1) % 2)
+
+        pltpu.make_async_copy(
+            ksh_hbm.at[0, pl.ds(0, wr), :], wk2_ref.at[buf],
+            ksem2.at[buf],
+        ).wait()
+        pltpu.make_async_copy(
+            dout_hbm.at[pl.ds(0, window), :], wf2_ref.at[buf],
+            fsem2.at[buf],
+        ).wait()
+
+        probes = [_offset_probe(kt, live, coord, deltas, dims, k)
+                  for k in grp]
+        nw = nw_ref[p, t]
+
+        @pl.when(nw > 1)
+        def _(p=p):
+            start_dma1(p, 1, 1)
+
+        outs = _plane_gather(wk2_ref[buf], wf2_ref[buf], probes, tile,
+                             window, k_pad)
+
+        def extra(wi, accs, p=p, probes=probes):
+            sb = jax.lax.rem(wi, 2)
+
+            @pl.when(wi + 1 < nw)
+            def _():
+                start_dma1(p, wi + 1, jax.lax.rem(wi + 1, 2))
+            pltpu.make_async_copy(
+                ksh_hbm.at[0, pl.ds(0, wr), :], wk1_ref.at[0],
+                ksem1.at[sb],
+            ).wait()
+            pltpu.make_async_copy(
+                dout_hbm.at[pl.ds(0, window), :], wf1_ref.at[0],
+                fsem1.at[sb],
+            ).wait()
+            eo = _plane_gather(wk1_ref[sb], wf1_ref[sb], probes, tile,
+                               window, k_pad)
+            return [a + e for a, e in zip(accs, eo)]
+
+        outs = jax.lax.fori_loop(1, nw, extra, outs)
+
+        dead = nw == 0
+        for i, k in enumerate(grp):
+            g = jnp.where(dead, jnp.zeros((tile, k_pad), jnp.float32),
+                          outs[i])
+            gb = g.astype(jnp.bfloat16)
+            gbuf_ref[:, k * k_pad:(k + 1) * k_pad] = gb
+            dw_ref[k] += jax.lax.dot_general(
+                ftb, gb,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ).astype(out_ref.dtype)
+            ).astype(dw_ref.dtype)
+
+    din = jnp.dot(
+        gbuf_ref[:], wrev_ref[:], preferred_element_type=jnp.float32
+    )
+    din_ref[0] = din.astype(din_ref.dtype)
 
 
 def _pad_rows(x: jax.Array, n_pad: int, fill) -> jax.Array:
@@ -316,122 +553,16 @@ def _pad_rows(x: jax.Array, n_pad: int, fill) -> jax.Array:
     return jnp.concatenate([x, pad], axis=0)
 
 
-def _sk_conv_call(
-    features, keys, weight_kv, plan,
-    *, deltas_key, disp, dims, sentinel_i, tile, window, interpret=False,
-):
-    """Shared fwd/dgrad kernel invocation (dgrad passes reversed deltas
-    and transposed per-offset weights)."""
-    n = keys.shape[0]
-    kv, c, k_ch = weight_kv.shape
-    n_tiles = -(-n // tile)
-    np_t = n_tiles * tile
-    n_pad = max(np_t + window, window)
-    n_pad = -(-n_pad // _LANE) * _LANE
-
-    keys_p = _pad_rows(keys, n_pad, sentinel_i)
-    feat_p = _pad_rows(features, n_pad, 0)
-    keys_tiles = keys_p[:np_t].reshape(n_tiles, 1, tile)
-    keys2d = keys_p.reshape(n_pad // _LANE, _LANE)
-    wflat = jnp.transpose(weight_kv, (0, 1, 2)).reshape(kv * c, k_ch)
-
-    deltas = (np.asarray(deltas_key, np.int32),
-              np.asarray(disp, np.int32).reshape(kv, len(dims)))
-    center = kv // 2
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((1, 1, tile), lambda t, *_: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, c), lambda t, *_: (t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, tile, k_ch), lambda t, *_: (t, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((window // _LANE, _LANE), jnp.int32),
-            pltpu.VMEM((window, c), features.dtype),
-            pltpu.VMEM((tile, kv * c), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-        ],
+def _pad_lanes(x: jax.Array, c_pad: int) -> jax.Array:
+    if x.shape[1] == c_pad:
+        return x
+    return jnp.concatenate(
+        [x, jnp.zeros((x.shape[0], c_pad - x.shape[1]), x.dtype)], axis=1
     )
-    kernel = functools.partial(
-        _sk_fwd_kernel, kv, center, tile, window, c, k_ch, deltas,
-        tuple(dims), sentinel_i, features.dtype,
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, tile, k_ch),
-                                       features.dtype),
-        interpret=interpret,
-    )(plan.ws, plan.nw, keys_tiles, feat_p[:np_t], keys2d, feat_p,
-      wflat.astype(jnp.bfloat16))
-    return out.reshape(np_t, k_ch)[:n]
 
 
-def _sk_wgrad_call(
-    features, dout, keys, plan,
-    *, deltas_key, disp, dims, sentinel_i, tile, window, kv,
-    interpret=False,
-):
-    n = keys.shape[0]
-    c = features.shape[1]
-    k_ch = dout.shape[1]
-    n_tiles = -(-n // tile)
-    np_t = n_tiles * tile
-    n_pad = -(-(np_t + window) // _LANE) * _LANE
-
-    keys_p = _pad_rows(keys, n_pad, sentinel_i)
-    feat_p = _pad_rows(features, n_pad, 0)
-    dout_p = _pad_rows(dout, np_t, 0)
-    keys_tiles = keys_p[:np_t].reshape(n_tiles, 1, tile)
-    keys2d = keys_p.reshape(n_pad // _LANE, _LANE)
-
-    deltas = (np.asarray(deltas_key, np.int32),
-              np.asarray(disp, np.int32).reshape(kv, len(dims)))
-    center = kv // 2
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((1, 1, tile), lambda t, *_: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, c), lambda t, *_: (t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, k_ch), lambda t, *_: (t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec((kv, c, k_ch), lambda t, *_: (0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((window // _LANE, _LANE), jnp.int32),
-            pltpu.VMEM((window, c), features.dtype),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-        ],
-    )
-    kernel = functools.partial(
-        _sk_wgrad_kernel, kv, center, tile, window, c, k_ch, deltas,
-        tuple(dims), sentinel_i,
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((kv, c, k_ch), jnp.float32),
-        interpret=interpret,
-    )(plan.ws, plan.nw, keys_tiles, feat_p[:np_t], dout_p, keys2d,
-      feat_p)
-    return out
+def _round_up(v: int, m: int) -> int:
+    return -(-v // m) * m
 
 
 class _SKGeom(NamedTuple):
@@ -442,7 +573,168 @@ class _SKGeom(NamedTuple):
     sentinel: int
     tile: int
     window: int
+    groups: tuple
     interpret: bool
+
+
+def _n_pad_for(n: int, tile: int, window: int) -> Tuple[int, int]:
+    n_tiles = -(-n // tile)
+    np_t = n_tiles * tile
+    n_pad = _round_up(np_t + MAX_NW * window + NSH * _LANE, _LANE)
+    return np_t, n_pad
+
+
+def _sk_conv_call(
+    features, keys, weight_kv, plan,
+    *, deltas_key, disp, dims, sentinel_i, tile, window, groups,
+    interpret=False,
+):
+    """Shared fwd/dgrad kernel invocation (dgrad passes reversed deltas
+    and transposed per-offset weights)."""
+    n = keys.shape[0]
+    kv, c, k_ch = weight_kv.shape
+    c_pad = _round_up(c, _LANE)
+    k_pad = _round_up(k_ch, _LANE)
+    n_tiles = -(-n // tile)
+    np_t, n_pad = _n_pad_for(n, tile, window)
+
+    keys_p = _pad_rows(keys, n_pad, sentinel_i)
+    feat_p = _pad_lanes(_pad_rows(features, n_pad, 0), c_pad)
+    keys_tiles = keys_p[:np_t].reshape(n_tiles, 1, tile)
+    ksh = prep_keys_sh(keys_p)
+    wflat = _pad_lanes(
+        weight_kv.reshape(kv * c, k_ch), k_pad
+    )
+    if c_pad != c:
+        wkv = wflat.reshape(kv, c, k_pad)
+        wkv = jnp.concatenate(
+            [wkv, jnp.zeros((kv, c_pad - c, k_pad), wkv.dtype)], axis=1
+        )
+        wflat = wkv.reshape(kv * c_pad, k_pad)
+
+    deltas = (np.asarray(deltas_key, np.int32),
+              np.asarray(disp, np.int32).reshape(kv, len(dims)))
+    center = kv // 2
+    wr = window // _LANE
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 1, tile), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, c_pad), lambda t, *_: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile, k_pad), lambda t, *_: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, wr, _LANE), jnp.int32),
+            pltpu.VMEM((2, window, c_pad), feat_p.dtype),
+            pltpu.VMEM((2, wr, _LANE), jnp.int32),
+            pltpu.VMEM((2, window, c_pad), feat_p.dtype),
+            pltpu.VMEM((tile, kv * c_pad), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(
+        _sk_fwd_kernel, kv, center, tile, window, c_pad, k_pad, deltas,
+        tuple(dims), sentinel_i, groups, n_tiles,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, tile, k_pad),
+                                       features.dtype),
+        interpret=interpret,
+    )(plan.ws, plan.nw, keys_tiles, feat_p[:np_t], ksh, feat_p,
+      wflat.astype(jnp.bfloat16))
+    return out.reshape(np_t, k_pad)[:n, :k_ch]
+
+
+def _sk_bwd_call(
+    features, dout, keys, weight_kv, plan_bwd,
+    *, deltas_key, disp, dims, sentinel_i, tile, window, groups,
+    interpret=False,
+):
+    """Fused dgrad+wgrad: probes are the REVERSED deltas (caller passes
+    them negated); plan must be the bwd plan."""
+    n = keys.shape[0]
+    kv, c, k_ch = weight_kv.shape
+    c_pad = _round_up(c, _LANE)
+    k_pad = _round_up(k_ch, _LANE)
+    n_tiles = -(-n // tile)
+    np_t, n_pad = _n_pad_for(n, tile, window)
+
+    keys_p = _pad_rows(keys, n_pad, sentinel_i)
+    feat_p = _pad_lanes(_pad_rows(features, np_t, 0), c_pad)
+    dout_p = _pad_lanes(_pad_rows(dout, n_pad, 0), k_pad)
+    keys_tiles = keys_p[:np_t].reshape(n_tiles, 1, tile)
+    ksh = prep_keys_sh(keys_p)
+
+    # dgrad weights: blocks W[k]ᵀ [k_pad, c_pad]
+    wrev = jnp.transpose(weight_kv, (0, 2, 1))  # [kv, K, C]
+    wrev = jnp.pad(wrev, ((0, 0), (0, k_pad - k_ch), (0, c_pad - c)))
+    wrev_flat = wrev.reshape(kv * k_pad, c_pad)
+
+    deltas = (np.asarray(deltas_key, np.int32),
+              np.asarray(disp, np.int32).reshape(kv, len(dims)))
+    center = kv // 2
+    wr = window // _LANE
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 1, tile), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, c_pad), lambda t, *_: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, k_pad), lambda t, *_: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile, c_pad), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kv, c_pad, k_pad), lambda t, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, wr, _LANE), jnp.int32),
+            pltpu.VMEM((2, window, k_pad), dout_p.dtype),
+            pltpu.VMEM((2, wr, _LANE), jnp.int32),
+            pltpu.VMEM((2, window, k_pad), dout_p.dtype),
+            pltpu.VMEM((tile, kv * k_pad), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(
+        _sk_bwd_kernel, kv, center, tile, window, c_pad, k_pad, deltas,
+        tuple(dims), sentinel_i, groups, n_tiles,
+    )
+    din, dw = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, tile, c_pad), features.dtype),
+            jax.ShapeDtypeStruct((kv, c_pad, k_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(plan_bwd.ws, plan_bwd.nw, keys_tiles, feat_p[:np_t],
+      dout_p[:np_t], ksh, dout_p, wrev_flat.astype(jnp.bfloat16))
+    return din.reshape(np_t, c_pad)[:n, :c], dw[:, :c, :k_ch]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -453,7 +745,7 @@ def _sk_conv(features, keys, weight_kv, plans, geom: _SKGeom):
         features, keys, weight_kv, plan_fwd,
         deltas_key=geom.deltas_key, disp=geom.disp, dims=geom.dims,
         sentinel_i=geom.sentinel, tile=geom.tile, window=geom.window,
-        interpret=geom.interpret,
+        groups=geom.groups, interpret=geom.interpret,
     )
 
 
@@ -466,23 +758,17 @@ def _sk_conv_bwd(geom, res, g):
     features, keys, weight_kv, plans = res
     plan_fwd, plan_bwd = plans
     g = g.astype(features.dtype)
-    kv = weight_kv.shape[0]
-    # dgrad: offset k probes −Δ_k and contracts with W[k]ᵀ
+    # fused dgrad+wgrad: one gather of dout at the reversed-offset probes
     rev_deltas = tuple(-d for d in geom.deltas_key)
     rev_disp = tuple(-d for d in geom.disp)
-    w_rev_t = jnp.transpose(weight_kv, (0, 2, 1))
-    din = _sk_conv_call(
-        g, keys, w_rev_t, plan_bwd,
+    din, dw_kv = _sk_bwd_call(
+        features, g, keys, weight_kv, plan_bwd,
         deltas_key=rev_deltas, disp=rev_disp, dims=geom.dims,
         sentinel_i=geom.sentinel, tile=geom.tile, window=geom.window,
-        interpret=geom.interpret,
-    ).astype(features.dtype)
-    dw = _sk_wgrad_call(
-        features, g, keys, plan_fwd,
-        deltas_key=geom.deltas_key, disp=geom.disp, dims=geom.dims,
-        sentinel_i=geom.sentinel, tile=geom.tile, window=geom.window,
-        kv=kv, interpret=geom.interpret,
-    ).astype(weight_kv.dtype)
+        groups=geom.groups, interpret=geom.interpret,
+    )
+    din = din.astype(features.dtype)
+    dw = dw_kv.astype(weight_kv.dtype)
     zf = jax.dtypes.float0
     return (din, np.zeros(keys.shape, dtype=zf), dw,
             jax.tree_util.tree_map(
@@ -502,8 +788,8 @@ def sk_subm_conv(
     spatial_shape: Sequence[int],
     batch_size: int,
     dilation: Sequence[int],
-    tile: int = 256,
-    window: int = 512,
+    tile: int = 128,
+    window: int = 384,
     plans: Optional[Tuple[SKPlan, SKPlan]] = None,
     interpret: bool = False,
     fallback: bool = True,
@@ -525,16 +811,16 @@ def sk_subm_conv(
     )  # [kv, C, K]
 
     deltas_np, disp_np = subm_key_deltas(ksize, dilation, spatial_shape)
+    groups = sk_groups(ksize)
     dims = tuple(int(s) for s in spatial_shape)
     sentinel = int(np.prod(dims)) * int(batch_size)
     n = keys.shape[0]
-    n_tiles = -(-n // tile)
-    np_t = n_tiles * tile
-    n_pad = -(-(np_t + window) // _LANE) * _LANE
+    np_t, n_pad = _n_pad_for(n, tile, window)
 
     if plans is None:
+        keys_p = _pad_rows(keys, np_t, sentinel)
         plans = build_sk_plans(
-            keys, sentinel, deltas_np, tile=tile, window=window,
+            keys_p, sentinel, deltas_np, groups, tile=tile, window=window,
             n_pad=n_pad,
         )
 
@@ -542,7 +828,7 @@ def sk_subm_conv(
         deltas_key=tuple(int(d) for d in deltas_np),
         disp=tuple(int(v) for v in disp_np.reshape(-1)),
         dims=dims, sentinel=sentinel, tile=tile, window=window,
-        interpret=interpret,
+        groups=groups, interpret=interpret,
     )
 
     def fast(args):
@@ -573,17 +859,45 @@ def sk_subm_conv(
         need_fallback, slow, fast, (features, keys, weight_kv)
     )
 
+class SKData:
+    """Cached sorted-key state for an ``indice_key`` stage: the linearized
+    keys plus the (fwd, bwd) window plans.  Stored in
+    ``SparseConvTensor.indice_dict`` under ``"__sk__<key>/<geometry>"``
+    so subm layers sharing an ``indice_key`` reuse both (the role of the
+    reference's subm rulebook reuse, ``spconv/pytorch/conv.py:272-277``).
 
-def build_sk_plans(keys, sentinel, deltas_np, *, tile, window, n_pad):
-    """(fwd, bwd) plans — bwd probes are the reversed (negated) deltas."""
-    fwd = build_sk_plan(
-        keys, sentinel,
-        deltas=tuple(int(d) for d in deltas_np),
-        tile=tile, window=window, n_pad=n_pad,
-    )
-    bwd = build_sk_plan(
-        keys, sentinel,
-        deltas=tuple(int(-d) for d in deltas_np),
-        tile=tile, window=window, n_pad=n_pad,
-    )
-    return fwd, bwd
+    Registered as a pytree so it can live inside jitted state.
+    """
+
+    def __init__(self, keys, plans, *, ksize, dilation, spatial_shape,
+                 tile, window):
+        self.keys = keys
+        self.plans = plans
+        self.ksize = tuple(ksize)
+        self.dilation = tuple(dilation)
+        self.spatial_shape = tuple(spatial_shape)
+        self.tile = int(tile)
+        self.window = int(window)
+
+    @staticmethod
+    def cache_key(indice_key, ksize, dilation, tile, window) -> str:
+        return (f"__sk__{indice_key}/{tuple(ksize)}/{tuple(dilation)}"
+                f"/{tile}x{window}")
+
+
+def _skdata_flatten(obj):
+    return ((obj.keys, obj.plans),
+            (obj.ksize, obj.dilation, obj.spatial_shape, obj.tile,
+             obj.window))
+
+
+def _skdata_unflatten(aux, children):
+    obj = object.__new__(SKData)
+    obj.keys, obj.plans = children
+    (obj.ksize, obj.dilation, obj.spatial_shape, obj.tile,
+     obj.window) = aux
+    return obj
+
+
+jax.tree_util.register_pytree_node(SKData, _skdata_flatten,
+                                   _skdata_unflatten)

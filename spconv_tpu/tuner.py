@@ -98,6 +98,48 @@ class ConvTuner:
         self._save()
         return params
 
+    # -- algorithm selection (parity: ConvAlgo auto-pick, conv.py:110-125)
+    def select_algo(self, *, subm: bool, sk_supported: bool, n: int,
+                    c: int, k: int, kv: int, dtype: str,
+                    backend: Optional[str] = None) -> str:
+        """Resolve ``algo=None``/"auto" to a concrete algorithm.
+
+        The reference auto-picks MaskImplicitGemm for kv<=32 and Native
+        otherwise (``conv.py:110-125``).  Here: the fused sorted-key
+        kernel for supported subm convs on TPU (it beats gather+einsum by
+        ~4x at bench sizes and skips pair-gen entirely), the chunked
+        gather+einsum path otherwise.  A cached tuned winner, when
+        present, overrides the heuristic."""
+        self._load()
+        kk = self.key("algo", self.bucket_n(n), c, k, kv, dtype)
+        cached = self._cache.get(kk)
+        if cached and "algo" in cached:
+            algo = cached["algo"]
+            if algo != "sk" or sk_supported:
+                return algo
+        import jax
+
+        backend = backend or jax.default_backend()
+        if (
+            subm
+            and sk_supported
+            and backend != "cpu"
+            and dtype in ("bfloat16", "float16")
+        ):
+            return "sk"
+        return "native"
+
+    def cache_algo(self, *, n: int, c: int, k: int, kv: int, dtype: str,
+                   algo: str, ms: Optional[float] = None):
+        """Record a measured winner for :meth:`select_algo`."""
+        self._load()
+        rec = {"algo": algo, "source": "tuned"}
+        if ms is not None:
+            rec["ms"] = ms
+        self._cache[self.key("algo", self.bucket_n(n), c, k, kv,
+                             dtype)] = rec
+        self._save()
+
     def tune_conv_chunk(self, features, weight_kv, pair_fwd, subm_center,
                         chunks=(3, 9, 14, 27)) -> dict:
         """Tune the gather-chunk width of the conv compute on real data."""

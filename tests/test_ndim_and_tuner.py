@@ -98,3 +98,30 @@ def test_tuner_heuristic_and_cache(tmp_path, rng):
     t2 = ConvTuner(cache_dir=str(tmp_path))
     p2 = t2.get_tuned_params("gather_mm", 256, 8, 8, 27, "float32")
     assert p2["source"] == "tuned"
+
+
+def test_select_algo_and_cache(tmp_path):
+    """Auto algo resolution: heuristic (cpu->native), cached winner
+    overrides, and unsupported-sk cached winners are ignored."""
+    t = ConvTuner(cache_dir=str(tmp_path))
+    kw = dict(subm=True, sk_supported=True, n=4096, c=64, k=64, kv=27,
+              dtype="bfloat16")
+    # on the CPU test backend the heuristic picks native
+    assert t.select_algo(**kw) == "native"
+    # a cached tuned winner overrides the heuristic
+    t.cache_algo(n=4096, c=64, k=64, kv=27, dtype="bfloat16", algo="sk",
+                 ms=1.0)
+    assert t.select_algo(**kw) == "sk"
+    # fresh tuner instance reads the winner from disk
+    t2 = ConvTuner(cache_dir=str(tmp_path))
+    assert t2.select_algo(**kw) == "sk"
+    # an sk winner is ignored when the layer can't run sk
+    kw2 = dict(kw, sk_supported=False)
+    assert t2.select_algo(**kw2) == "native"
+
+
+def test_default_algo_is_auto(rng):
+    import spconv_tpu
+
+    conv = spconv_tpu.SubMConv3d(4, 8, 3)
+    assert conv.algo == "auto"

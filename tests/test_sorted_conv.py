@@ -133,3 +133,40 @@ def test_sk_plan_presence_and_deltas():
     for k in range(27):
         dz, dy, dx = disp[k]
         assert deltas[k] == dz * 63 + dy * 9 + dx
+
+
+def test_sk_module_path_and_cache(rng):
+    """SubMConv3d(algo="sk") matches the native module path, and two
+    layers sharing an indice_key reuse the cached SKData plans."""
+    import spconv_tpu
+    from spconv_tpu.ops.pallas.sorted_conv import SKData
+
+    shape = (11, 13, 17)
+    c = 8
+    feats, inds = _sorted_input(rng, shape, 300, c, 512)
+    x = spconv_tpu.SparseConvTensor(feats, inds, shape, 1)
+
+    kw = dict(bias=True, indice_key="s0", key=jax.random.PRNGKey(3))
+    conv_sk = spconv_tpu.SubMConv3d(c, 16, 3, algo="sk", **kw)
+    conv_nat = spconv_tpu.SubMConv3d(c, 16, 3, algo="native", **kw)
+    conv_nat.weight = conv_sk.weight
+    conv_nat.bias = conv_sk.bias
+
+    y_sk = conv_sk(x)
+    y_nat = conv_nat(x)
+    np.testing.assert_allclose(
+        np.asarray(y_sk.features), np.asarray(y_nat.features),
+        rtol=1e-2, atol=1e-2,
+    )
+
+    # cache: one SKData record exists and a second sk layer reuses it
+    sk_keys = [k for k in y_sk.indice_dict if k.startswith("__sk__")]
+    assert len(sk_keys) == 1
+    rec = y_sk.indice_dict[sk_keys[0]]
+    assert isinstance(rec, SKData)
+
+    conv_sk2 = spconv_tpu.SubMConv3d(16, 16, 3, algo="sk", bias=False,
+                                     indice_key="s0",
+                                     key=jax.random.PRNGKey(4))
+    y2 = conv_sk2(y_sk)
+    assert [k for k in y2.indice_dict if k.startswith("__sk__")] == sk_keys

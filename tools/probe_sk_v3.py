@@ -17,6 +17,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+VARIANT = sys.argv[1] if len(sys.argv) > 1 else "full"
+
 T = 256          # output tile rows
 W = 512          # window, original rows
 ALIGN = 256      # ws alignment (original rows)
@@ -125,7 +127,7 @@ def kernel(kv, center, c, k_ch, deltas, dims, sentinel, groups, n_tiles,
             featp_hbm.at[pl.ds(pl.multiple_of(ps, 128), WP), :],
             wf2_ref.at[buf], fsem2.at[buf]).start()
 
-    def start_dma1(pp, tt, wi):
+    def start_dma1(pp, tt, wi, buf):
         base = ws_ref[pp, tt] + wi * W
         ps = base // P
         m = ps // 128
@@ -134,38 +136,70 @@ def kernel(kv, center, c, k_ch, deltas, dims, sentinel, groups, n_tiles,
         for j in range(P):
             pltpu.make_async_copy(
                 keys_sh_hbm.at[j, ish, pl.ds(r0, 8), :],
-                wk1_ref.at[j], ksem1.at[j]).start()
+                wk1_ref.at[buf, j], ksem1.at[buf, j]).start()
         pltpu.make_async_copy(
             featp_hbm.at[pl.ds(pl.multiple_of(ps, 128), WP), :],
-            wf1_ref, fsem1).start()
+            wf1_ref.at[buf], fsem1.at[buf]).start()
 
     gbuf_ref[:, center * c:(center + 1) * c] = ft_ref[:].astype(
         gbuf_ref.dtype)
 
     def plane_matmul(wk, wf, probes_p):
         """One-hot gather of every offset of the plane from the shared
-        window.  probes_p: list of [T] probes.  Returns [len*T? -> list
-        of [T, c] f32 contributions]."""
+        window (v4): per-128-entry-row matmuls (no [T,WP] concat) and
+        any()+where slot selection (no f32 rowsums)."""
+        if VARIANT == "v4":
+            outs = []
+            for probe in probes_p:
+                p2 = probe[:, None]
+                g2 = jnp.zeros((T, 128), jnp.float32)
+                msel = None
+                for r in range(WP // 128):
+                    ohr = None
+                    for j in range(P):
+                        o = p2 == wk[j, r][None, :]
+                        if j == 0:
+                            m0 = jnp.any(o, axis=1, keepdims=True)
+                            msel = m0 if msel is None else (msel | m0)
+                        ohr = o if ohr is None else (ohr | o)
+                    g2 = g2 + jnp.dot(
+                        ohr.astype(jnp.bfloat16),
+                        wf[r * 128:(r + 1) * 128].astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+                outs.append(jnp.where(msel, g2[:, :c], g2[:, c:]))
+            return outs
         g = len(probes_p)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (T, WP), 1)
         ohs_all = []      # per offset per slot [T, WP]
         oh_any_rows = []  # per offset [T, WP]
         for probe in probes_p:
             p2 = probe[:, None]
             ohs = []
             for j in range(P):
-                rows = [p2 == wk[j, r][None, :] for r in range(WP // 128)]
-                ohs.append(jnp.concatenate(rows, axis=1))
+                if VARIANT == "nocmp":
+                    ohs.append(iota == p2)
+                else:
+                    rows = [p2 == wk[j, r][None, :]
+                            for r in range(WP // 128)]
+                    ohs.append(jnp.concatenate(rows, axis=1))
             oh_any = ohs[0]
             for j in range(1, P):
                 oh_any = oh_any | ohs[j]
             ohs_all.append(ohs)
             oh_any_rows.append(oh_any)
+        if VARIANT == "nomm":
+            return [jnp.sum(o[0].astype(jnp.float32), axis=1,
+                            keepdims=True)
+                    * jnp.ones((T, c), jnp.float32) for o in ohs_all]
         big = jnp.concatenate(oh_any_rows, axis=0)  # [g*T, WP]
         g2 = jnp.dot(big.astype(jnp.bfloat16), wf.astype(jnp.bfloat16),
                      preferred_element_type=jnp.float32)  # [g*T, 128]
         outs = []
         for i in range(g):
             gi = g2[i * T:(i + 1) * T]
+            if VARIANT in ("norowsum",):
+                outs.append(gi[:, :c])
+                continue
             contrib = jnp.zeros((T, c), jnp.float32)
             for j in range(P):
                 mj = jnp.sum(ohs_all[i][j].astype(jnp.float32), axis=1,
@@ -197,18 +231,28 @@ def kernel(kv, center, c, k_ch, deltas, dims, sentinel, groups, n_tiles,
         probes_p = [probe_of(k) for k in groups[p]]
         nw = nw_ref[p, t]
 
+        # start window-1 DMA (if any) before computing window 0 so the
+        # extra-window sweep overlaps the first matmul
+        @pl.when(nw > 1)
+        def _():
+            start_dma1(p, t, 1, 1)
+
         outs = plane_matmul(wk2_ref[buf], wf2_ref[buf], probes_p)
 
-        # rare extra windows, serial buffer
+        # extra windows, double-buffered serial sweep (buf = wi % 2)
         def extra(wi, accs):
-            start_dma1(p, t, wi)
+            sb = jax.lax.rem(wi, 2)
+            @pl.when(wi + 1 < nw)
+            def _():
+                start_dma1(p, t, wi + 1, jax.lax.rem(wi + 1, 2))
             for j in range(P):
                 pltpu.make_async_copy(
                     keys_sh_hbm.at[0, 0, pl.ds(0, 8), :],
-                    wk1_ref.at[0], ksem1.at[j]).wait()
+                    wk1_ref.at[0, 0], ksem1.at[sb, j]).wait()
             pltpu.make_async_copy(
-                featp_hbm.at[pl.ds(0, WP), :], wf1_ref, fsem1).wait()
-            extra_outs = plane_matmul(wk1_ref, wf1_ref, probes_p)
+                featp_hbm.at[pl.ds(0, WP), :], wf1_ref.at[0],
+                fsem1.at[sb]).wait()
+            extra_outs = plane_matmul(wk1_ref[sb], wf1_ref[sb], probes_p)
             return [a + e for a, e in zip(accs, extra_outs)]
 
         outs = jax.lax.fori_loop(1, nw, extra, outs)
@@ -290,13 +334,13 @@ def main():
         scratch_shapes=[
             pltpu.VMEM((2, P, 8, 128), jnp.int32),
             pltpu.VMEM((2, WP, 128), jnp.bfloat16),
-            pltpu.VMEM((P, 8, 128), jnp.int32),
-            pltpu.VMEM((WP, 128), jnp.bfloat16),
+            pltpu.VMEM((2, P, 8, 128), jnp.int32),
+            pltpu.VMEM((2, WP, 128), jnp.bfloat16),
             pltpu.VMEM((T, kv * c), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2, P)),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((P,)),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2, P)),
+            pltpu.SemaphoreType.DMA((2,)),
         ])
     kern = functools.partial(kernel, kv, center, c, k_ch, deltas, shape,
                              sent_i, groups, n_tiles)
@@ -316,10 +360,49 @@ def main():
               flush=True)
         return
 
-    out2 = out.reshape(np_t, k_ch)[:n]
+    if VARIANT in ("full", "v4"):
+        out2 = np.asarray(out.reshape(np_t, k_ch)[:n])
+        data = build_subm_rulebook(inds, spatial_shape=shape, batch_size=1,
+                                   ksize=(3, 3, 3), dilation=(1, 1, 1))
+        refo = indice_conv(feats, w, data.pair_fwd, data.pair_bwd,
+                           is_subm=True)
+        dd = float(np.max(np.abs(out2.astype(np.float32)
+                                 - np.asarray(refo, np.float32))))
+        print(f"parity: max abs diff {dd:.4f}", flush=True)
+    REP = 8
+    tiny = jax.jit(lambda s: s + 1.0)
+    float(tiny(0.0))
+    t0 = time.time()
+    for _ in range(5):
+        float(tiny(0.0))
+    floor = (time.time() - t0) / 5 * 1000
+
+    @jax.jit
+    def rep(ff):
+        def body(_, cacc):
+            f2 = ff * (1.0 + 0.0 * cacc).astype(ff.dtype)
+            fp = jnp.concatenate(
+                [f2, jnp.zeros((n_pad - n, c), jnp.bfloat16)]
+            ).reshape(n_pad // P, 128)
+            ftt = fp.reshape(n_pad, c)[:np_t]
+            o = f(ws, nw, kt3, ftt, keys_sh, fp, wflat)
+            return jnp.sum(o.astype(jnp.float32))
+        return jax.lax.fori_loop(0, REP, body, jnp.float32(0))
+
+    t0 = time.time(); float(rep(feats)); cs = time.time() - t0
+    best = 1e9
+    for _ in range(3):
+        t0 = time.time(); float(rep(feats)); best = min(
+            best, time.time() - t0)
+    print(f"sk-v3[{VARIANT}] fwd: {best*1000/REP - floor/REP:.2f} ms "
+          f"(compile {cs:.0f}s)", flush=True)
+    return
+
+
+def _never(out2, n):
     data = build_subm_rulebook(inds, spatial_shape=shape, batch_size=1,
                                ksize=(3, 3, 3), dilation=(1, 1, 1))
-    ref = indice_conv(feats, w, data.pair_fwd, data.pair_bwd, is_subm=True)
+    ref = None
     d = float(jnp.max(jnp.abs(out2.astype(jnp.float32)
                               - ref.astype(jnp.float32))))
     m = float(jnp.max(jnp.abs(ref.astype(jnp.float32))))
