@@ -14,7 +14,8 @@ basic fwd 13.02 ms / bwd 12.43 ms; large fwd 19.85 ms / bwd 31.24 ms;
 CenterPoint north star ≤5 ms/scan.  vs_baseline = baseline / ours.
 
 Flags:
-  --algo=native|block   compute path (default: block — the brick MXU path)
+  --algo=auto|native|sk|block  compute path (default: auto — tuner-resolved;
+                        on TPU subm convs run the fused sorted-key kernel)
   --only=basic|large|cp run a single section (debugging)
   --skip-bwd            skip backward measurements
 """
@@ -98,7 +99,7 @@ def run_bench_net(large, algo, do_bwd, floor_ms):
           file=sys.stderr, flush=True)
 
     net = BenchNet(spatial_shape, dtype=dtype, pool_bounds=pool_bounds,
-                   algo=algo if algo == "block" else None,
+                   algo=None if algo == "auto" else algo,
                    brick_bounds=brick_bounds)
 
     REP = 10
@@ -182,7 +183,7 @@ def run_centerpoint(algo, floor_ms):
     x, nv = load_centerpoint_input()
     print(f"[cp] {nv} voxels, grid {x.spatial_shape}", file=sys.stderr,
           flush=True)
-    net = build_calibrated_encoder(x, algo=algo if algo == "block" else None)
+    net = build_calibrated_encoder(x, algo=None if algo == "auto" else algo)
 
     REP = 5
     shape = x.spatial_shape
@@ -216,7 +217,7 @@ def run_centerpoint(algo, floor_ms):
 def main():
     import jax
 
-    algo = "block"
+    algo = "auto"
     only = None
     for a in sys.argv[1:]:
         if a.startswith("--algo="):

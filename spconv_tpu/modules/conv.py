@@ -385,7 +385,7 @@ class SparseConvolution(Module):
         indices = input.indices
         spatial_shape = tuple(int(s) for s in input.spatial_shape)
         batch_size = input.batch_size
-        tile, window = 128, 384  # measured best at bench sizes (v5e)
+        tile, window = 128, 256  # measured best at bench sizes (v5e)
         interpret = jax.default_backend() == "cpu"
 
         ck = SK.SKData.cache_key(

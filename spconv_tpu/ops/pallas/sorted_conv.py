@@ -71,8 +71,13 @@ __all__ = [
 # this jax version.
 
 _LANE = 128
-_ALIGN = 128   # window-start alignment (original rows)
-NSH = 8        # shifted key copies (8-sublane-aligned key DMA)
+# Window starts are aligned to 8 rows — the DMA sublane granularity for
+# every dtype (measured, tools/probe_dma_align.py).  Key windows start at
+# arbitrary 8-key offsets via 16 key-table copies shifted by 8 keys each
+# (copy i row r holds keys[8*i + 128*r : ...]).
+_ALIGN = 8
+_KPITCH = 8    # key-copy shift pitch (keys)
+NSH = 16       # number of shifted key copies (NSH * _KPITCH == 128)
 
 # A (plane, tile) whose match span exceeds MAX_NW windows (activity gaps
 # make rank spans much larger than real match spans) forces the layer-wide
@@ -205,23 +210,24 @@ def build_sk_plans(keys, sentinel, deltas_np, groups, *, tile, window,
 
 
 def prep_keys_sh(keys_pad: jax.Array) -> jax.Array:
-    """8 row-shifted copies of the padded key table, [NSH, rows, 128]:
-    copy ``i`` row ``r`` holds ``keys_pad[128*(i+r) : 128*(i+r)+128]``,
-    so any 128-row-aligned window start maps to an 8-aligned DMA row in
-    copy ``(start/128) % 8``."""
+    """``NSH`` copies of the padded key table shifted by ``_KPITCH`` keys
+    each, [NSH, rows, 128]: copy ``i`` row ``r`` holds
+    ``keys_pad[_KPITCH*i + 128*r : ...]``, so a window starting at any
+    8-key-aligned position ``s`` is rows ``[s//128 ...]`` of copy
+    ``(s % 128) // _KPITCH`` — a legal DMA at any row (int32 slices have
+    no sublane-alignment requirement; tools/probe_dma_align.py)."""
     n_pad = keys_pad.shape[0]
     assert n_pad % _LANE == 0
     rows = n_pad // _LANE
     out = []
     for i in range(NSH):
         shifted = jnp.concatenate(
-            [keys_pad[i * _LANE:],
-             jnp.full((i * _LANE + NSH * _LANE,), np.int32(2**31 - 1),
+            [keys_pad[i * _KPITCH:],
+             jnp.full((i * _KPITCH + 2 * _LANE,), np.int32(2**31 - 1),
                       jnp.int32)]
         )
-        out.append(shifted[: (rows + NSH) * _LANE].reshape(rows + NSH,
-                                                           _LANE))
-    return jnp.stack(out)  # [NSH, rows + NSH, 128]
+        out.append(shifted[: (rows + 2) * _LANE].reshape(rows + 2, _LANE))
+    return jnp.stack(out)  # [NSH, rows + 2, 128]
 
 
 def _probe_coords(kt, dims):
@@ -300,9 +306,8 @@ def _sk_fwd_kernel(
         tt = step // n_planes
         pp = step % n_planes
         base = ws_ref[pp, tt]
-        m = base // _LANE
-        ish = jax.lax.rem(m, NSH)
-        r0 = pl.multiple_of(m - ish, NSH)
+        ish = jax.lax.rem(base, _LANE) // _KPITCH
+        r0 = base // _LANE
         pltpu.make_async_copy(
             ksh_hbm.at[ish, pl.ds(r0, wr), :], wk2_ref.at[buf],
             ksem2.at[buf],
@@ -314,9 +319,8 @@ def _sk_fwd_kernel(
 
     def start_dma1(pp, wi, buf):
         base = ws_ref[pp, t] + wi * window
-        m = base // _LANE
-        ish = jax.lax.rem(m, NSH)
-        r0 = pl.multiple_of(m - ish, NSH)
+        ish = jax.lax.rem(base, _LANE) // _KPITCH
+        r0 = base // _LANE
         pltpu.make_async_copy(
             ksh_hbm.at[ish, pl.ds(r0, wr), :], wk1_ref.at[buf],
             ksem1.at[buf],
@@ -438,9 +442,8 @@ def _sk_bwd_kernel(
         tt = step // n_planes
         pp = step % n_planes
         base = ws_ref[pp, tt]
-        m = base // _LANE
-        ish = jax.lax.rem(m, NSH)
-        r0 = pl.multiple_of(m - ish, NSH)
+        ish = jax.lax.rem(base, _LANE) // _KPITCH
+        r0 = base // _LANE
         pltpu.make_async_copy(
             ksh_hbm.at[ish, pl.ds(r0, wr), :], wk2_ref.at[buf],
             ksem2.at[buf],
@@ -452,9 +455,8 @@ def _sk_bwd_kernel(
 
     def start_dma1(pp, wi, buf):
         base = ws_ref[pp, t] + wi * window
-        m = base // _LANE
-        ish = jax.lax.rem(m, NSH)
-        r0 = pl.multiple_of(m - ish, NSH)
+        ish = jax.lax.rem(base, _LANE) // _KPITCH
+        r0 = base // _LANE
         pltpu.make_async_copy(
             ksh_hbm.at[ish, pl.ds(r0, wr), :], wk1_ref.at[buf],
             ksem1.at[buf],
@@ -789,7 +791,7 @@ def sk_subm_conv(
     batch_size: int,
     dilation: Sequence[int],
     tile: int = 128,
-    window: int = 384,
+    window: int = 256,
     plans: Optional[Tuple[SKPlan, SKPlan]] = None,
     interpret: bool = False,
     fallback: bool = True,

@@ -144,3 +144,35 @@ def test_regular_conv_vs_dense(rng, ksize, stride, padding, dilation):
                           ((3, 3, 3), (2, 2, 2), (1, 1, 1))])
 def test_transposed_conv_vs_dense(rng, ksize, stride, padding):
     run_case(rng, ksize, stride, padding, (1, 1, 1), transposed=True)
+
+
+# ---------------------------------------------------------------------------
+# Exhaustive-grid sweep (parity: test/test_all_algo.py's k/s/p/d ×
+# subm/regular grid — every combination through fwd + dgrad + wgrad
+# against the dense torch golden).
+_GRID = []
+for ks in [2, 3]:
+    for st in [1, 2]:
+        for pa in [0, 1]:
+            for di in [1, 2]:
+                if ks == 2 and di == 2:
+                    continue  # degenerate: dilated 2-kernels rarely used
+                _GRID.append(((ks,) * 3, (st,) * 3, (pa,) * 3, (di,) * 3))
+
+
+@pytest.mark.parametrize("ksize,stride,padding,dilation", _GRID)
+def test_regular_conv_grid(rng, ksize, stride, padding, dilation):
+    run_case(rng, ksize, stride, padding, dilation)
+
+
+@pytest.mark.parametrize("ksize,dilation",
+                         [((3, 3, 3), (1, 1, 1)), ((5, 5, 5), (1, 1, 1)),
+                          ((1, 3, 3), (1, 1, 1)), ((3, 3, 3), (2, 2, 2))])
+def test_subm_conv_grid(rng, ksize, dilation):
+    run_case(rng, ksize, (1, 1, 1), None, dilation, subm=True)
+
+
+@pytest.mark.parametrize("cin,cout", [(1, 1), (16, 32), (24, 3)])
+def test_conv_channel_extremes(rng, cin, cout):
+    run_case(rng, (3, 3, 3), (2, 2, 2), (1, 1, 1), (1, 1, 1),
+             cin=cin, cout=cout)

@@ -53,8 +53,8 @@ def main():
 
     # cumulative prefixes: after k layers (layer list = c0 c1 p0 c2 c3 p1 …)
     def prefix_run(m, feats, inds, upto):
-        def fwd(f):
-            t = spconv_tpu.SparseConvTensor(f, inds, spatial_shape, 1)
+        def fwd(f, ii):
+            t = spconv_tpu.SparseConvTensor(f, ii, spatial_shape, 1)
             c, p = m.convs, m.pools
             li = 0
             for stage in range(6):
@@ -73,7 +73,8 @@ def main():
 
         def body(_, cnt):
             f = feats * (1.0 + 0.0 * cnt).astype(feats.dtype)
-            return jnp.sum(fwd(f).features.astype(jnp.float32))
+            ii = inds + jnp.isnan(cnt).astype(inds.dtype)
+            return jnp.sum(fwd(f, ii).features.astype(jnp.float32))
 
         return jax.lax.fori_loop(0, REP, body, jnp.float32(0))
 

@@ -15,7 +15,9 @@ ROWS = 64
 def make(dt, mult):
     def kern(s_ref, x_hbm, o_ref, buf, sem):
         st = pl.multiple_of(s_ref[0], mult)
-        pltpu.make_async_copy(x_hbm.at[pl.ds(st, ROWS), :], buf, sem).wait()
+        cp = pltpu.make_async_copy(x_hbm.at[pl.ds(st, ROWS), :], buf, sem)
+        cp.start()
+        cp.wait()
         o_ref[:] = buf[:]
 
     gs = pltpu.PrefetchScalarGridSpec(
