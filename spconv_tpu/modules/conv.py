@@ -386,6 +386,8 @@ class SparseConvolution(Module):
         spatial_shape = tuple(int(s) for s in input.spatial_shape)
         batch_size = input.batch_size
         tile, window = 128, 256  # measured best at bench sizes (v5e)
+        if indices.shape[0] > 400_000:
+            window = 384  # dense scans: wider row spans (avg nw ~1.1 here)
         interpret = jax.default_backend() == "cpu"
 
         ck = SK.SKData.cache_key(

@@ -6,10 +6,12 @@ from __future__ import annotations
 
 from typing import Optional, Sequence, Union
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..core import SparseConvTensor, expand_nd
+from ..ops import coords as C
 from ..module import Module
 from ..ops.pool import global_pool, indice_avgpool, indice_maxpool
 from ..ops.rulebook import (build_conv_rulebook, build_pool2_rulebook,
@@ -86,6 +88,54 @@ class _SparsePoolBase(Module):
                     input, meta, mode=self._mode,
                     nb_bound=self.brick_bound,
                 )
+        if (
+            not self.subm
+            and self.kernel_size == (2,) * self.ndim
+            and self.stride == (2,) * self.ndim
+            and self.padding == (0,) * self.ndim
+            and self.dilation == (1,) * self.ndim
+            and self.algo in ("native", "sk", "auto")
+            and not C.use_pair_keys(input.spatial_shape, input.batch_size)
+            and (self.algo == "sk" or jax.default_backend() != "cpu")
+        ):
+            # fused sorted-key pool: pair phase + reduction in one Pallas
+            # pass (ops/pallas/sorted_pool.py); output-site discovery
+            # stays in XLA
+            from ..ops.pallas import sorted_pool as SP
+            from ..ops.rulebook import build_pool2_outputs
+
+            in_shape = tuple(int(s) for s in input.spatial_shape)
+            out_shape = tuple(int(v) for v in C.get_conv_output_size(
+                in_shape, (2,) * self.ndim, (2,) * self.ndim,
+                (0,) * self.ndim, (1,) * self.ndim))
+            out_indices, out_keys, num_out = build_pool2_outputs(
+                input.indices,
+                spatial_shape=in_shape,
+                batch_size=input.batch_size,
+                out_bound=self._resolve_out_bound(input.indices.shape[0]),
+            )
+            in_keys, _ = C.linearize(
+                input.indices, input.spatial_shape, input.batch_size
+            )
+            geom = (in_shape, out_shape,
+                    int(input.batch_size), self._mode, 128, 512,
+                    jax.default_backend() == "cpu")
+            out_feat = SP.sk_pool2_ad(
+                input.features, in_keys, out_keys, input.indices, geom
+            )
+            from ..calibrate import _maybe_record
+
+            _maybe_record(self, num_out)
+            return SparseConvTensor(
+                out_feat,
+                out_indices,
+                out_shape,
+                input.batch_size,
+                num_voxels=num_out,
+                indice_dict=dict(input.indice_dict),
+                benchmark=input.benchmark,
+            )
+
         if self.subm:
             data = input.find_indice_pair(self.indice_key)
             if data is None or not data.is_subm:

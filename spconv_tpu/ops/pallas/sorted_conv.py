@@ -62,7 +62,7 @@ from .. import coords as C
 
 __all__ = [
     "SKPlan", "build_sk_plans", "sk_subm_conv", "subm_key_deltas",
-    "sk_groups", "prep_keys_sh", "SKData",
+    "sk_groups", "prep_keys_sh", "SKData", "sk_subm_conv_q",
 ]
 
 # NOTE: none of the internal functions here are @jax.jit-decorated — they
@@ -81,8 +81,11 @@ NSH = 16       # number of shifted key copies (NSH * _KPITCH == 128)
 
 # A (plane, tile) whose match span exceeds MAX_NW windows (activity gaps
 # make rank spans much larger than real match spans) forces the layer-wide
-# rulebook fallback; in practice gap tiles need 2-4 windows.
-MAX_NW = 24
+# rulebook fallback.  Dense 900k-voxel scans measured max nw = 43 with
+# avg 1.5 (ONE gap tile would otherwise condemn the whole layer), so the
+# bound is generous — extra windows sweep double-buffered and only a
+# couple of tiles ever take them.
+MAX_NW = 64
 
 
 def subm_key_deltas(
@@ -146,21 +149,41 @@ def _build_sk_plan(
     """
     np_ = keys.shape[0]
     assert np_ % tile == 0
-    n_tiles = np_ // tile
-    kv = len(deltas)
     d = jnp.asarray(deltas, jnp.int32)
-
     bkeys = keys[::tile]  # [n_tiles]
-    probes = (bkeys[None, :] + d[:, None]).reshape(-1)  # [kv * n_tiles]
-    npb = probes.shape[0]
-    allk = jnp.concatenate([probes, keys])
+    probes = bkeys[None, :] + d[:, None]  # [kv, n_tiles]
+    tile_live = bkeys != sentinel
+    return _plan_from_probes(keys, probes, tile_live, sentinel,
+                             groups=groups, window=window, n_pad=n_pad)
+
+
+def _plan_from_probes(
+    table_keys: jax.Array,   # [Np] sorted sentinel-padded table
+    probes: jax.Array,       # [kv, n_tiles] boundary probe keys (each row
+                             # monotone in the tile index)
+    tile_live: jax.Array,    # [n_tiles] bool
+    sentinel,
+    *,
+    groups: Tuple[Tuple[int, ...], ...],
+    window: int,
+    n_pad: int,
+) -> SKPlan:
+    """Shared rank machinery: boundary ranks in the table per (offset,
+    tile) → per-group covering windows.  Used by both the conv plan
+    (probes = boundary key + Δ_k) and the pool plan (probes = child keys
+    of output-tile boundary parents)."""
+    np_ = table_keys.shape[0]
+    kv, n_tiles = probes.shape
+    pf = probes.reshape(-1)
+    npb = pf.shape[0]
+    allk = jnp.concatenate([pf, table_keys])
     src = jnp.arange(npb + np_, dtype=jnp.int32)
     _, src_s = jax.lax.sort((allk, src), num_keys=1, is_stable=True)
     cnt = jnp.cumsum((src_s >= npb).astype(jnp.int32))
     # rank at probe positions, restored to probe order
     _, ranks = jax.lax.sort((src_s, cnt), num_keys=1, is_stable=False)
     lo = ranks[:npb].reshape(kv, n_tiles)
-    n_valid = jnp.sum((keys != sentinel).astype(jnp.int32))
+    n_valid = jnp.sum((table_keys != sentinel).astype(jnp.int32))
     # matches only exist among real keys (positions < n_valid): clamp both
     # bounds there, else a boundary probe at/past the sentinel counts the
     # pad keys and trips the overflow check spuriously
@@ -169,7 +192,6 @@ def _build_sk_plan(
     )
     hi = jnp.minimum(hi, n_valid)
     lo = jnp.minimum(lo, n_valid)
-    tile_live = bkeys != sentinel  # tile has at least one real row
 
     glo = jnp.stack(
         [jnp.min(jnp.stack([lo[k] for k in g]), axis=0) for g in groups]
@@ -184,7 +206,7 @@ def _build_sk_plan(
     # activity gaps a few — the kernel loops, so any span stays exact
     nw = jnp.where(present, -(-(ghi - ws) // window), 0)
     overflow = jnp.any(nw > MAX_NW)
-    unsorted = jnp.any(keys[1:] < keys[:-1])
+    unsorted = jnp.any(table_keys[1:] < table_keys[:-1])
     return SKPlan(
         ws=ws.astype(jnp.int32),
         nw=nw.astype(jnp.int32),
@@ -252,14 +274,14 @@ def _offset_probe(kt, live, coord, deltas, dims, k):
     return jnp.where(ok, kt + int(deltas[0][k]), -1)
 
 
-def _plane_gather(wk, wf, probes, tile, window, c_pad):
+def _plane_gather(wk, wf, probes, tile, window, c_pad, int8=False):
     """One-hot gather of every offset of the plane from the shared window.
 
     ``wk``: [window/128 (+slack), 128] int32 window keys; ``wf``:
-    [window, c_pad] features.  Returns a list of [tile, c_pad] f32
-    gathered rows, one per probe.  2-D compares per 128-key row (Mosaic
-    rejects the 3-D broadcast form), batched into one MXU matmul across
-    the plane's offsets."""
+    [window, c_pad] features.  Returns a list of [tile, c_pad] gathered
+    rows (f32, or int32 in int8 mode), one per probe.  2-D compares per
+    128-key row (Mosaic rejects the 3-D broadcast form), batched into
+    one MXU matmul across the plane's offsets."""
     wr = window // _LANE
     ohs = []
     for probe in probes:
@@ -268,10 +290,23 @@ def _plane_gather(wk, wf, probes, tile, window, c_pad):
             [p2 == wk[r][None, :] for r in range(wr)], axis=1
         ))  # [tile, window]
     big = jnp.concatenate(ohs, axis=0)  # [g*tile, window]
-    g2 = jnp.dot(
-        big.astype(jnp.bfloat16), wf.astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
-    )  # [g*tile, c_pad]
+    if int8:
+        g2 = jnp.dot(
+            big.astype(jnp.int8), wf[:],
+            preferred_element_type=jnp.int32,
+        )  # [g*tile, c_pad] — gathered rows are exact int8 values
+    elif wf.dtype == jnp.float32:
+        # f32 tables gather exactly (f32 MXU path); bf16 one-hot would
+        # truncate the gathered values
+        g2 = jnp.dot(
+            big.astype(jnp.float32), wf[:],
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        g2 = jnp.dot(
+            big.astype(jnp.bfloat16), wf.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )  # [g*tile, c_pad]
     return [g2[i * tile:(i + 1) * tile] for i in range(len(probes))]
 
 
@@ -355,9 +390,12 @@ def _sk_fwd_kernel(
             fsem2.at[buf],
         ).wait()
 
-        probes = [_offset_probe(kt, live, coord, deltas, dims, k)
-                  for k in grp]
         nw = nw_ref[p, t]
+        # dead plane => probes -1 (match nothing in the stale window);
+        # cheaper than masking the gathered [tile, c_pad] outputs
+        plive = live & (nw > 0)
+        probes = [_offset_probe(kt, plive, coord, deltas, dims, k)
+                  for k in grp]
 
         # start window-1 DMA (if any) before computing window 0 so the
         # extra-window sweep overlaps the first matmul
@@ -389,11 +427,8 @@ def _sk_fwd_kernel(
 
         outs = jax.lax.fori_loop(1, nw, extra, outs)
 
-        dead = nw == 0
         for i, k in enumerate(grp):
-            val = jnp.where(dead, jnp.zeros((tile, c_pad), jnp.float32),
-                            outs[i])
-            gbuf_ref[:, k * c_pad:(k + 1) * c_pad] = val.astype(
+            gbuf_ref[:, k * c_pad:(k + 1) * c_pad] = outs[i].astype(
                 gbuf_ref.dtype
             )
 
@@ -401,6 +436,246 @@ def _sk_fwd_kernel(
         gbuf_ref[:], w_ref[:], preferred_element_type=jnp.float32
     )
     out_ref[0] = out.astype(out_ref.dtype)
+
+
+def _sk_fwd_kernel_q(
+    kv, center, tile, window, c_pad, k_pad, deltas, dims, sentinel,
+    groups, n_tiles, act, out_int8,
+    # scalar prefetch
+    ws_ref, nw_ref,
+    # inputs
+    kt_ref,      # [1, 1, tile] int32
+    ft_ref,      # [tile, c_pad] int8 (center identity)
+    ksh_hbm,     # shifted key copies
+    feat_hbm,    # [n_pad, c_pad] int8
+    w_ref,       # [kv*c_pad, k_pad] int8 VMEM
+    scale_ref,   # [1, k_pad] f32 — input_scale*w_scale/output_scale
+    bias_ref,    # [1, k_pad] f32 (already output-scaled)
+    # output
+    out_ref,     # [1, tile, k_pad] int8 or bf16
+    # scratch
+    wk2_ref, wf2_ref, wk1_ref, wf1_ref, gbuf_ref,
+    ksem2, fsem2, ksem1, fsem1,
+):
+    """int8 forward: one-hot(int8) x window(int8) -> int32 gather; deep
+    GEMM int8 x int8 -> int32; fused per-channel scale + bias + act +
+    requant epilogue (parity: the reference's int8 implicit_gemm fused
+    epilogue, ``ops.py:1465-1525``, ``docs/TENSORRT_INT8_GUIDE.md``)."""
+    t = pl.program_id(0)
+    n_planes = len(groups)
+    wr = window // _LANE
+
+    kt = kt_ref[0, 0]
+    live = kt != sentinel
+    coord = _probe_coords(kt, dims)
+
+    def start_dma2(step, buf):
+        tt = step // n_planes
+        pp = step % n_planes
+        base = ws_ref[pp, tt]
+        ish = jax.lax.rem(base, _LANE) // _KPITCH
+        r0 = base // _LANE
+        pltpu.make_async_copy(
+            ksh_hbm.at[ish, pl.ds(r0, wr), :], wk2_ref.at[buf],
+            ksem2.at[buf],
+        ).start()
+        pltpu.make_async_copy(
+            feat_hbm.at[pl.ds(pl.multiple_of(base, _ALIGN), window), :],
+            wf2_ref.at[buf], fsem2.at[buf],
+        ).start()
+
+    def start_dma1(pp, wi, buf):
+        base = ws_ref[pp, t] + wi * window
+        ish = jax.lax.rem(base, _LANE) // _KPITCH
+        r0 = base // _LANE
+        pltpu.make_async_copy(
+            ksh_hbm.at[ish, pl.ds(r0, wr), :], wk1_ref.at[buf],
+            ksem1.at[buf],
+        ).start()
+        pltpu.make_async_copy(
+            feat_hbm.at[pl.ds(pl.multiple_of(base, _ALIGN), window), :],
+            wf1_ref.at[buf], fsem1.at[buf],
+        ).start()
+
+    gbuf_ref[:, center * c_pad:(center + 1) * c_pad] = ft_ref[:]
+
+    for p, grp in enumerate(groups):
+        s = t * n_planes + p
+        buf = s % 2
+        if p == 0:
+            @pl.when(t == 0)
+            def _():
+                start_dma2(0, 0)
+
+        @pl.when(s + 1 < n_tiles * n_planes)
+        def _(s=s):
+            start_dma2(s + 1, (s + 1) % 2)
+
+        pltpu.make_async_copy(
+            ksh_hbm.at[0, pl.ds(0, wr), :], wk2_ref.at[buf],
+            ksem2.at[buf],
+        ).wait()
+        pltpu.make_async_copy(
+            feat_hbm.at[pl.ds(0, window), :], wf2_ref.at[buf],
+            fsem2.at[buf],
+        ).wait()
+
+        nw = nw_ref[p, t]
+        plive = live & (nw > 0)
+        probes = [_offset_probe(kt, plive, coord, deltas, dims, k)
+                  for k in grp]
+
+        @pl.when(nw > 1)
+        def _(p=p):
+            start_dma1(p, 1, 1)
+
+        outs = _plane_gather(wk2_ref[buf], wf2_ref[buf], probes, tile,
+                             window, c_pad, int8=True)
+
+        def extra(wi, accs, p=p, probes=probes):
+            sb = jax.lax.rem(wi, 2)
+
+            @pl.when(wi + 1 < nw)
+            def _():
+                start_dma1(p, wi + 1, jax.lax.rem(wi + 1, 2))
+            pltpu.make_async_copy(
+                ksh_hbm.at[0, pl.ds(0, wr), :], wk1_ref.at[0],
+                ksem1.at[sb],
+            ).wait()
+            pltpu.make_async_copy(
+                feat_hbm.at[pl.ds(0, window), :], wf1_ref.at[0],
+                fsem1.at[sb],
+            ).wait()
+            eo = _plane_gather(wk1_ref[sb], wf1_ref[sb], probes, tile,
+                               window, c_pad, int8=True)
+            return [a + e for a, e in zip(accs, eo)]
+
+        outs = jax.lax.fori_loop(1, nw, extra, outs)
+
+        for i, k in enumerate(grp):
+            gbuf_ref[:, k * c_pad:(k + 1) * c_pad] = outs[i].astype(
+                jnp.int8)
+
+    acc = jnp.dot(
+        gbuf_ref[:], w_ref[:], preferred_element_type=jnp.int32
+    )  # [tile, k_pad] int32
+    y = acc.astype(jnp.float32) * scale_ref[0][None, :] \
+        + bias_ref[0][None, :]
+    if act == "relu":
+        y = jnp.maximum(y, 0.0)
+    if out_int8:
+        y = jnp.clip(jnp.round(y), -128.0, 127.0)
+    out_ref[0] = y.astype(out_ref.dtype)
+
+
+def sk_subm_conv_q(
+    features_i8: jax.Array,   # [N, C] int8
+    keys: jax.Array,          # [N] int32 sorted linearized keys
+    weight_i8: jax.Array,     # KRSC [K, *ksize, C] int8
+    scale: jax.Array,         # [K] f32 — in_scale*w_scale/out_scale
+    bias: Optional[jax.Array],  # [K] f32 (output-scale units)
+    *,
+    spatial_shape: Sequence[int],
+    batch_size: int,
+    dilation: Sequence[int],
+    act: str = "none",
+    out_dtype=jnp.int8,
+    tile: int = 128,
+    window: int = 256,
+    plans: Optional[Tuple[SKPlan, SKPlan]] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """int8 rulebook-free subm conv with fused scale/bias/act/requant
+    epilogue (inference; parity: quantized ``SparseConv`` semantics,
+    ``spconv/pytorch/quantization/quantized/conv.py``)."""
+    ksize = tuple(int(k) for k in weight_i8.shape[1:-1])
+    dilation = tuple(int(d) for d in dilation)
+    k_out = weight_i8.shape[0]
+    c = weight_i8.shape[-1]
+    kv = int(np.prod(ksize))
+    c_pad = _round_up(c, _LANE)
+    k_pad = _round_up(k_out, _LANE)
+    weight_kv = jnp.transpose(
+        weight_i8.reshape(k_out, kv, c), (1, 2, 0)
+    )  # [kv, C, K] int8
+
+    deltas_np, disp_np = subm_key_deltas(ksize, dilation, spatial_shape)
+    groups = sk_groups(ksize)
+    dims = tuple(int(s) for s in spatial_shape)
+    sentinel = int(np.prod(dims)) * int(batch_size)
+    n = keys.shape[0]
+    n_tiles = -(-n // tile)
+    np_t, n_pad = _n_pad_for(n, tile, window)
+
+    if plans is None:
+        keys_p0 = _pad_rows(keys, np_t, sentinel)
+        plans = build_sk_plans(
+            keys_p0, sentinel, deltas_np, groups, tile=tile,
+            window=window, n_pad=n_pad,
+        )
+    plan = plans[0]
+
+    keys_p = _pad_rows(keys, n_pad, sentinel)
+    feat_p = _pad_lanes(_pad_rows(features_i8, n_pad, 0), c_pad)
+    keys_tiles = keys_p[:np_t].reshape(n_tiles, 1, tile)
+    ksh = prep_keys_sh(keys_p)
+    wflat = jnp.pad(
+        weight_kv, ((0, 0), (0, c_pad - c), (0, k_pad - k_out))
+    ).reshape(kv * c_pad, k_pad)
+    scale_p = jnp.pad(scale.astype(jnp.float32),
+                      (0, k_pad - k_out)).reshape(1, k_pad)
+    bias_p = (jnp.pad(bias.astype(jnp.float32), (0, k_pad - k_out))
+              if bias is not None else jnp.zeros((k_pad,), jnp.float32)
+              ).reshape(1, k_pad)
+
+    deltas = (np.asarray(deltas_np, np.int32),
+              np.asarray(disp_np, np.int32).reshape(kv, len(dims)))
+    center = kv // 2
+    wr = window // _LANE
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 1, tile), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, c_pad), lambda t, *_: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_pad), lambda t, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_pad), lambda t, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile, k_pad), lambda t, *_: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, wr, _LANE), jnp.int32),
+            pltpu.VMEM((2, window, c_pad), jnp.int8),
+            pltpu.VMEM((2, wr, _LANE), jnp.int32),
+            pltpu.VMEM((2, window, c_pad), jnp.int8),
+            pltpu.VMEM((tile, kv * c_pad), jnp.int8),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out_int8 = out_dtype == jnp.int8
+    kernel = functools.partial(
+        _sk_fwd_kernel_q, kv, center, tile, window, c_pad, k_pad, deltas,
+        dims, sentinel, groups, n_tiles, act, out_int8,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, tile, k_pad), out_dtype),
+        interpret=interpret,
+    )(plan.ws, plan.nw, keys_tiles, feat_p[:np_t], ksh, feat_p,
+      wflat, scale_p, bias_p)
+    return out.reshape(np_t, k_pad)[:n, :k_out]
 
 
 def _sk_bwd_kernel(
@@ -499,9 +774,10 @@ def _sk_bwd_kernel(
             fsem2.at[buf],
         ).wait()
 
-        probes = [_offset_probe(kt, live, coord, deltas, dims, k)
-                  for k in grp]
         nw = nw_ref[p, t]
+        plive = live & (nw > 0)
+        probes = [_offset_probe(kt, plive, coord, deltas, dims, k)
+                  for k in grp]
 
         @pl.when(nw > 1)
         def _(p=p):
@@ -530,11 +806,8 @@ def _sk_bwd_kernel(
 
         outs = jax.lax.fori_loop(1, nw, extra, outs)
 
-        dead = nw == 0
         for i, k in enumerate(grp):
-            g = jnp.where(dead, jnp.zeros((tile, k_pad), jnp.float32),
-                          outs[i])
-            gb = g.astype(jnp.bfloat16)
+            gb = outs[i].astype(jnp.bfloat16)
             gbuf_ref[:, k * k_pad:(k + 1) * k_pad] = gb
             dw_ref[k] += jax.lax.dot_general(
                 ftb, gb,

@@ -368,6 +368,57 @@ def build_pool2_rulebook(
     )
 
 
+@partial(
+    jax.jit,
+    static_argnames=("spatial_shape", "batch_size", "out_bound"),
+)
+def build_pool2_outputs(
+    indices: jax.Array,
+    *,
+    spatial_shape: Tuple[int, ...],
+    batch_size: int,
+    out_bound: Optional[int] = None,
+):
+    """Output-site discovery alone for the 2/2/0 pool (the sorted-key
+    pool kernel joins pairs in-kernel, so only ``out_indices``/keys and
+    the count are needed — the pair scatters of
+    :func:`build_pool2_rulebook` are skipped).
+
+    Returns ``(out_indices [out_bound, ndim+1], out_keys [out_bound]
+    int32 sorted sentinel-padded, num_out, out_shape)``.
+    """
+    n = indices.shape[0]
+    ndim = indices.shape[1] - 1
+    out_shape = C.get_conv_output_size(
+        spatial_shape, (2,) * ndim, (2,) * ndim, (0,) * ndim, (1,) * ndim
+    )
+    if out_bound is None:
+        out_bound = n
+    oshape_arr = jnp.asarray(out_shape, jnp.int32)
+    oc = indices[:, 1:] // 2
+    valid = (indices[:, 0] >= 0) & jnp.all(oc < oshape_arr, axis=-1)
+    out_c = jnp.concatenate([indices[:, :1], oc], axis=-1)
+    keys, sentinel = C.linearize(out_c, out_shape, batch_size, valid)
+
+    sk = jnp.sort(keys)
+    not_sent = ~C.is_sentinel(sk, sentinel)
+    is_first = jnp.concatenate([not_sent[:1], C.adj_differ(sk) & not_sent[1:]])
+    uniq_pos = jnp.cumsum(is_first.astype(jnp.int32)) - 1
+    num_out_total = jnp.sum(is_first.astype(jnp.int32))
+
+    uniq_scatter = jnp.where(is_first & (uniq_pos < out_bound), uniq_pos,
+                             out_bound)
+    out_keys = C.full_sentinel(out_bound, sentinel).astype(
+        sk.dtype if sk.ndim == 1 else jnp.int32
+    )
+    out_keys = out_keys.at[uniq_scatter].set(sk, mode="drop")
+    out_valid = ~C.is_sentinel(out_keys, sentinel)
+    out_indices = C.delinearize(out_keys, out_shape, out_valid)
+    # NOTE: out_shape is static python math — callers recompute it via
+    # C.get_conv_output_size (a jitted fn cannot return static tuples)
+    return (out_indices, out_keys, jnp.minimum(num_out_total, out_bound))
+
+
 def get_indice_pairs(
     indices: jax.Array,
     batch_size: int,

@@ -170,3 +170,109 @@ def test_sk_module_path_and_cache(rng):
                                      key=jax.random.PRNGKey(4))
     y2 = conv_sk2(y_sk)
     assert [k for k in y2.indice_dict if k.startswith("__sk__")] == sk_keys
+
+
+def test_sk_int8_conv_vs_reference(rng):
+    """int8 SK kernel vs the int8 gather reference (exact int32
+    accumulation, fused scale/bias/relu epilogue)."""
+    from spconv_tpu.ops.pallas.sorted_conv import sk_subm_conv_q
+    from spconv_tpu.quantization.quantize import _int8_gather_mm
+
+    shape = (11, 13, 17)
+    c, k_out = 8, 16
+    feats, inds = _sorted_input(rng, shape, 300, c, 512)
+    keys, sent = _keys_of(inds, shape, 1)
+    fi8 = jnp.asarray(rng.randint(-100, 100, feats.shape), jnp.int8)
+    fi8 = jnp.where(inds[:, :1] >= 0, fi8, 0)
+    wi8 = jnp.asarray(rng.randint(-80, 80, (k_out, 3, 3, 3, c)), jnp.int8)
+    scale = jnp.asarray(rng.uniform(0.001, 0.01, (k_out,)), jnp.float32)
+    bias = jnp.asarray(rng.uniform(-1, 1, (k_out,)), jnp.float32)
+
+    out = sk_subm_conv_q(
+        fi8, keys, wi8, scale, bias, spatial_shape=shape, batch_size=1,
+        dilation=(1, 1, 1), act="relu", out_dtype=jnp.int8,
+        interpret=True)
+
+    from spconv_tpu.ops.rulebook import build_subm_rulebook
+    data = build_subm_rulebook(inds, spatial_shape=shape, batch_size=1,
+                               ksize=(3, 3, 3), dilation=(1, 1, 1))
+    wkv = jnp.transpose(wi8.reshape(k_out, 27, c), (1, 2, 0))
+    acc = _int8_gather_mm(fi8, wkv, data.pair_fwd, 13)
+    y = acc.astype(jnp.float32) * scale[None, :] + bias[None, :]
+    y = jnp.maximum(y, 0.0)
+    ref = jnp.clip(jnp.round(y), -128, 127).astype(jnp.int8)
+    valid = np.asarray(inds[:, 0] >= 0)
+    np.testing.assert_array_equal(np.asarray(out)[valid],
+                                  np.asarray(ref)[valid])
+
+
+@pytest.mark.parametrize("mode", ["max", "mean"])
+def test_sk_pool2_matches_rulebook(rng, mode):
+    """Fused sorted-key pool vs rulebook gather-reduce (fwd + input
+    grads, interpret mode)."""
+    import spconv_tpu
+    from spconv_tpu.ops.pallas import sorted_pool as SP
+    from spconv_tpu.ops.pool import indice_avgpool, indice_maxpool
+    from spconv_tpu.ops.rulebook import (build_pool2_outputs,
+                                         build_pool2_rulebook)
+
+    shape = (11, 14, 17)  # odd lead dim exercises edge clamping
+    c = 8
+    feats, inds = _sorted_input(rng, shape, 400, c, 512)
+    feats = feats - 0.5  # negative values exercise max masking
+
+    from spconv_tpu.ops import coords as CC
+    out_shape = tuple(int(v) for v in CC.get_conv_output_size(
+        shape, (2,) * 3, (2,) * 3, (0,) * 3, (1,) * 3))
+    out_indices, out_keys, num_out = build_pool2_outputs(
+        inds, spatial_shape=shape, batch_size=1, out_bound=512)
+    in_keys, _ = _keys_of(inds, shape, 1)
+
+    geom = (shape, out_shape, 1, mode, 128, 512, True)
+    out = SP.sk_pool2_ad(feats, in_keys, out_keys, inds, geom)
+
+    data = build_pool2_rulebook(inds, spatial_shape=shape, batch_size=1,
+                                out_bound=512)
+    if mode == "max":
+        ref = indice_maxpool(feats, data.pair_fwd)
+    else:
+        ref = indice_avgpool(feats, data.pair_fwd)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+    # grads
+    cot = jnp.asarray(rng.randn(*np.asarray(ref).shape), jnp.float32)
+
+    def loss_sk(f):
+        return jnp.sum(SP.sk_pool2_ad(f, in_keys, out_keys, inds, geom)
+                       * cot)
+
+    def loss_ref(f):
+        if mode == "max":
+            return jnp.sum(indice_maxpool(f, data.pair_fwd) * cot)
+        return jnp.sum(indice_avgpool(f, data.pair_fwd) * cot)
+
+    g_sk = jax.grad(loss_sk)(feats)
+    g_ref = jax.grad(loss_ref)(feats)
+    np.testing.assert_allclose(np.asarray(g_sk), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_sk_pool_module_path(rng):
+    """SparseMaxPool3d with algo='sk' (interpret on CPU) matches the
+    rulebook module path."""
+    import spconv_tpu
+
+    shape = (11, 13, 17)
+    c = 8
+    feats, inds = _sorted_input(rng, shape, 300, c, 512)
+    x = spconv_tpu.SparseConvTensor(feats, inds, shape, 1)
+    p_sk = spconv_tpu.SparseMaxPool3d(2, 2, algo="sk", out_bound=512)
+    p_nat = spconv_tpu.SparseMaxPool3d(2, 2, algo="native", out_bound=512)
+    y1 = jax.jit(lambda t: p_sk(t))(x)  # jit: statics must stay static
+    y2 = p_nat(x)
+    np.testing.assert_array_equal(np.asarray(y1.indices),
+                                  np.asarray(y2.indices))
+    np.testing.assert_allclose(np.asarray(y1.features),
+                               np.asarray(y2.features), rtol=1e-4,
+                               atol=1e-4)
