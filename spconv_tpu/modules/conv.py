@@ -189,7 +189,8 @@ class SparseConvolution(Module):
             kv = int(np.prod(self.kernel_size))
             algo = CONV_TUNER.select_algo(
                 subm=self.subm,
-                sk_supported=self._sk_supported(input),
+                sk_supported=(self._sk_supported(input)
+                              or self._sk_reg_supported(input)),
                 n=int(indices.shape[0]), c=self.in_channels,
                 k=self.out_channels, kv=kv, dtype=str(features.dtype),
             )
@@ -205,6 +206,8 @@ class SparseConvolution(Module):
 
         if algo == "sk" and self._sk_supported(input):
             return self._call_sk(input, add_input)
+        if algo == "sk" and self._sk_reg_supported(input):
+            return self._call_sk_regular(input, add_input)
         if algo in ("sk", "block"):
             # requested specialized path not applicable here — use the
             # native gather path for the compute
@@ -370,6 +373,157 @@ class SparseConvolution(Module):
             and not self.inverse
             and not C.use_pair_keys(input.spatial_shape, input.batch_size)
         )
+
+    def _sk_reg_supported(self, input: SparseConvTensor) -> bool:
+        """Regular (strided) and inverse convs on single-word key grids;
+        transposed convs stay on the rulebook path."""
+        import numpy as _np
+
+        if self.subm or self.transposed or self.conv1x1:
+            return False
+        if C.use_pair_keys(input.spatial_shape, input.batch_size):
+            return False
+        if self.inverse:
+            from ..ops.pallas.sorted_conv import SKRegData
+
+            data = input.indice_dict.get(f"__skreg__{self.indice_key}")
+            return isinstance(data, SKRegData)
+        out_shape = C.get_conv_output_size(
+            input.spatial_shape, self.kernel_size, self.stride,
+            self.padding, self.dilation)
+        if any(v <= 0 for v in out_shape):
+            return False
+        return not C.use_pair_keys(out_shape, input.batch_size)
+
+    def _call_sk_regular(
+        self,
+        input: SparseConvTensor,
+        add_input: Optional[SparseConvTensor] = None,
+    ) -> SparseConvTensor:
+        """Fused sorted-key strided/inverse conv
+        (``ops/pallas/sorted_conv.py:sk_regular_conv``).  Output-site
+        discovery runs in XLA; keys/plans/sites cache per indice_key and
+        are shared with the paired inverse conv."""
+        from ..ops.pallas import sorted_conv as SK
+        from ..ops.rulebook import build_conv_outputs
+
+        features = input.features
+        indices = input.indices
+        spatial_shape = tuple(int(s) for s in input.spatial_shape)
+        batch_size = input.batch_size
+        tile, window = 128, 384
+        interpret = jax.default_backend() == "cpu"
+        ck = (f"__skreg__{self.indice_key}"
+              if self.indice_key is not None else None)
+
+        if self.inverse:
+            data = input.indice_dict.get(ck) if ck else None
+            assert isinstance(data, SK.SKRegData), (
+                f"SparseInverseConv requires a cached sorted-key record "
+                f"under indice_key={self.indice_key!r}")
+            assert data.ksize == self.kernel_size, (
+                f"inverse conv ksize {self.kernel_size} != encoder "
+                f"{data.ksize}")
+            assert data.out_shape == spatial_shape, (
+                f"inverse conv input shape {spatial_shape} != encoder "
+                f"output shape {data.out_shape}")
+            out_feat, _, _ = SK.sk_regular_conv(
+                features, data.in_keys, data.out_keys, self.weight,
+                in_shape=data.in_shape, out_shape=data.out_shape,
+                batch_size=batch_size, stride=data.stride,
+                padding=data.padding, dilation=data.dilation,
+                inverse=True, tile=data.tile, window=data.window,
+                plans=data.plans, interpret=interpret,
+            )
+            out_indices = input.indice_dict.get(f"__skreg_in__{self.indice_key}")
+            # output sites = the encoder's input sites
+            enc_in_indices = out_indices
+            assert enc_in_indices is not None, (
+                "encoder input indices missing from the sorted-key cache")
+            out_feat = bias_add_act(
+                out_feat, self.bias, self.act_type, self.act_alpha,
+                self.act_beta,
+                add_input.features if add_input is not None else None,
+            )
+            valid = enc_in_indices[:, 0] >= 0
+            out_feat = jnp.where(valid[:, None], out_feat, 0)
+            return SparseConvTensor(
+                out_feat,
+                enc_in_indices,
+                data.in_shape,
+                batch_size,
+                num_voxels=jnp.sum(valid.astype(jnp.int32)),
+                indice_dict=dict(input.indice_dict),
+                benchmark=input.benchmark,
+            )
+
+        out_shape = tuple(int(v) for v in C.get_conv_output_size(
+            spatial_shape, self.kernel_size, self.stride, self.padding,
+            self.dilation))
+        rec = input.indice_dict.get(ck) if ck else None
+        new_rec = None
+        if (
+            isinstance(rec, SK.SKRegData)
+            and rec.ksize == self.kernel_size
+            and rec.stride == self.stride
+            and rec.padding == self.padding
+            and rec.dilation == self.dilation
+            and rec.in_shape == spatial_shape
+        ):
+            in_keys = rec.in_keys
+            out_keys = rec.out_keys
+            out_indices = rec.out_indices
+            num_out = rec.num_out
+            plans = rec.plans
+        else:
+            out_bound = self._resolve_out_bound(indices.shape[0])
+            out_indices, out_keys, num_out = build_conv_outputs(
+                indices, spatial_shape=spatial_shape,
+                batch_size=batch_size, ksize=self.kernel_size,
+                stride=self.stride, padding=self.padding,
+                dilation=self.dilation, out_bound=out_bound,
+            )
+            in_keys, _ = C.linearize(indices, spatial_shape, batch_size)
+            plans = None
+
+        out_feat, plans, _geom = SK.sk_regular_conv(
+            features, in_keys, out_keys, self.weight,
+            in_shape=spatial_shape, out_shape=out_shape,
+            batch_size=batch_size, stride=self.stride,
+            padding=self.padding, dilation=self.dilation,
+            tile=tile, window=window, plans=plans, interpret=interpret,
+        )
+        if ck and not isinstance(rec, SK.SKRegData):
+            new_rec = SK.SKRegData(
+                in_keys, out_keys, out_indices, num_out, plans,
+                ksize=self.kernel_size, stride=self.stride,
+                padding=self.padding, dilation=self.dilation,
+                in_shape=spatial_shape, out_shape=out_shape, tile=tile,
+                window=window,
+            )
+        out_feat = bias_add_act(
+            out_feat, self.bias, self.act_type, self.act_alpha,
+            self.act_beta,
+            add_input.features if add_input is not None else None,
+        )
+        out_valid = out_indices[:, 0] >= 0
+        out_feat = jnp.where(out_valid[:, None], out_feat, 0)
+        from ..calibrate import _maybe_record
+
+        _maybe_record(self, num_out)
+        out = SparseConvTensor(
+            out_feat,
+            out_indices,
+            out_shape,
+            batch_size,
+            num_voxels=num_out,
+            indice_dict=dict(input.indice_dict),
+            benchmark=input.benchmark,
+        )
+        if new_rec is not None:
+            out.indice_dict[ck] = new_rec
+            out.indice_dict[f"__skreg_in__{self.indice_key}"] = indices
+        return out
 
     def _call_sk(
         self,

@@ -63,6 +63,7 @@ from .. import coords as C
 __all__ = [
     "SKPlan", "build_sk_plans", "sk_subm_conv", "subm_key_deltas",
     "sk_groups", "prep_keys_sh", "SKData", "sk_subm_conv_q",
+    "sk_regular_conv", "build_sk_reg_plans", "SKRegData",
 ]
 
 # NOTE: none of the internal functions here are @jax.jit-decorated — they
@@ -106,17 +107,20 @@ def subm_key_deltas(
     return deltas.astype(np.int32), disp.astype(np.int32)
 
 
-def sk_groups(ksize: Sequence[int]) -> Tuple[Tuple[int, ...], ...]:
+def sk_groups(ksize: Sequence[int],
+              include_center: bool = False) -> Tuple[Tuple[int, ...], ...]:
     """Offsets grouped by leading-axis displacement ("planes"): their key
     shifts differ by at most a few minor-axis strides, so one window per
-    group covers all members.  The center offset is excluded (identity)."""
+    group covers all members.  For subm the center offset is excluded
+    (identity shortcut); regular convs gather every offset."""
     kv = int(np.prod([int(k) for k in ksize]))
     center = kv // 2
     lead = int(np.prod([int(k) for k in ksize[1:]])) if len(ksize) > 1 \
         else 1
     groups = []
     for g0 in range(0, kv, lead):
-        g = tuple(k for k in range(g0, g0 + lead) if k != center)
+        g = tuple(k for k in range(g0, g0 + lead)
+                  if include_center or k != center)
         if g:
             groups.append(g)
     return tuple(groups)
@@ -190,7 +194,10 @@ def _plan_from_probes(
     hi = jnp.concatenate(
         [lo[:, 1:], jnp.broadcast_to(n_valid, (kv, 1))], axis=1
     )
-    hi = jnp.minimum(hi, n_valid)
+    # +1: a match key exactly equal to the next tile's boundary probe
+    # ranks AT the boundary (probes sort before equal table keys), so the
+    # window must extend one row past it
+    hi = jnp.minimum(hi + 1, n_valid)
     lo = jnp.minimum(lo, n_valid)
 
     glo = jnp.stack(
@@ -253,25 +260,61 @@ def prep_keys_sh(keys_pad: jax.Array) -> jax.Array:
 
 
 def _probe_coords(kt, dims):
-    """Per-axis coordinates of each tile key for bounds checks (batch
-    never wraps: an out-of-range leading coordinate shifts the key out of
-    the valid range, where no table key exists)."""
+    """Per-axis coordinates (+ batch index) of each tile key for bounds
+    checks (batch never wraps: an out-of-range leading coordinate shifts
+    the key out of the valid range, where no table key exists)."""
     rem = kt
     coord = []
     for s in reversed(dims):
         coord.append(jax.lax.rem(rem, s))
         rem = jax.lax.div(rem, s)
-    return coord[::-1]
+    return coord[::-1], rem
 
 
-def _offset_probe(kt, live, coord, deltas, dims, k):
-    disp_k = deltas[1][k]
-    ok = live
-    for a in range(len(dims)):
-        da = int(disp_k[a])
-        if da != 0:
-            ok = ok & (coord[a] + da >= 0) & (coord[a] + da < dims[a])
-    return jnp.where(ok, kt + int(deltas[0][k]), -1)
+def _probe_shift_fn(deltas, dims):
+    """Subm probes: constant key shift Δ_k with per-axis bounds checks."""
+    def f(kt, live, coord, b, k):
+        disp_k = deltas[1][k]
+        ok = live
+        for a in range(len(dims)):
+            da = int(disp_k[a])
+            if da != 0:
+                ok = ok & (coord[a] + da >= 0) & (coord[a] + da < dims[a])
+        return jnp.where(ok, kt + int(deltas[0][k]), -1)
+    return f
+
+
+def _probe_affine_fn(stride, disp, table_dims):
+    """Regular-conv forward probes: OUT coords → IN keys
+    (``in = out·s + off·dil − pad``, the ConvOutLocIter map,
+    reference ``indices.py:177-203``)."""
+    def f(kt, live, coord, b, k):
+        ok = live
+        key = b
+        for a in range(len(table_dims)):
+            ca = coord[a] * int(stride[a]) + int(disp[k][a])
+            ok = ok & (ca >= 0) & (ca < table_dims[a])
+            key = key * table_dims[a] + ca
+        return jnp.where(ok, key, -1)
+    return f
+
+
+def _probe_divide_fn(stride, disp, table_dims):
+    """Reverse probes: IN coords → OUT keys with stride-divisibility
+    (``out = (in − off·dil + pad)/s`` — the query_npq semantics used by
+    dgrad and inverse conv, reference ``indices.py:177-269``)."""
+    def f(kt, live, coord, b, k):
+        ok = live
+        key = b
+        for a in range(len(table_dims)):
+            ta = coord[a] - int(disp[k][a])
+            sa = int(stride[a])
+            ca = jax.lax.div(ta, sa)
+            ok = (ok & (ta >= 0) & (jax.lax.rem(ta, sa) == 0)
+                  & (ca < table_dims[a]))
+            key = key * table_dims[a] + ca
+        return jnp.where(ok, key, -1)
+    return f
 
 
 def _plane_gather(wk, wf, probes, tile, window, c_pad, int8=False):
@@ -311,7 +354,7 @@ def _plane_gather(wk, wf, probes, tile, window, c_pad, int8=False):
 
 
 def _sk_fwd_kernel(
-    kv, center, tile, window, c_pad, k_pad, deltas, dims, sentinel,
+    kv, center, tile, window, c_pad, k_pad, probe_fn, dims, sentinel,
     groups, n_tiles,
     # scalar prefetch
     ws_ref, nw_ref,
@@ -333,7 +376,7 @@ def _sk_fwd_kernel(
 
     kt = kt_ref[0, 0]  # [tile] int32
     live = kt != sentinel
-    coord = _probe_coords(kt, dims)
+    coord, bidx = _probe_coords(kt, dims)
 
     def start_dma2(step, buf):
         """Window-0 DMA for flattened step (= t*n_planes + p) into
@@ -365,9 +408,9 @@ def _sk_fwd_kernel(
             wf1_ref.at[buf], fsem1.at[buf],
         ).start()
 
-    gbuf_ref[:, center * c_pad:(center + 1) * c_pad] = ft_ref[:].astype(
-        gbuf_ref.dtype
-    )
+    if center is not None:
+        gbuf_ref[:, center * c_pad:(center + 1) * c_pad] = \
+            ft_ref[:].astype(gbuf_ref.dtype)
 
     for p, grp in enumerate(groups):
         s = t * n_planes + p
@@ -394,8 +437,7 @@ def _sk_fwd_kernel(
         # dead plane => probes -1 (match nothing in the stale window);
         # cheaper than masking the gathered [tile, c_pad] outputs
         plive = live & (nw > 0)
-        probes = [_offset_probe(kt, plive, coord, deltas, dims, k)
-                  for k in grp]
+        probes = [probe_fn(kt, plive, coord, bidx, k) for k in grp]
 
         # start window-1 DMA (if any) before computing window 0 so the
         # extra-window sweep overlaps the first matmul
@@ -439,7 +481,7 @@ def _sk_fwd_kernel(
 
 
 def _sk_fwd_kernel_q(
-    kv, center, tile, window, c_pad, k_pad, deltas, dims, sentinel,
+    kv, center, tile, window, c_pad, k_pad, probe_fn, dims, sentinel,
     groups, n_tiles, act, out_int8,
     # scalar prefetch
     ws_ref, nw_ref,
@@ -467,7 +509,7 @@ def _sk_fwd_kernel_q(
 
     kt = kt_ref[0, 0]
     live = kt != sentinel
-    coord = _probe_coords(kt, dims)
+    coord, bidx = _probe_coords(kt, dims)
 
     def start_dma2(step, buf):
         tt = step // n_planes
@@ -497,7 +539,8 @@ def _sk_fwd_kernel_q(
             wf1_ref.at[buf], fsem1.at[buf],
         ).start()
 
-    gbuf_ref[:, center * c_pad:(center + 1) * c_pad] = ft_ref[:]
+    if center is not None:
+        gbuf_ref[:, center * c_pad:(center + 1) * c_pad] = ft_ref[:]
 
     for p, grp in enumerate(groups):
         s = t * n_planes + p
@@ -522,8 +565,7 @@ def _sk_fwd_kernel_q(
 
         nw = nw_ref[p, t]
         plive = live & (nw > 0)
-        probes = [_offset_probe(kt, plive, coord, deltas, dims, k)
-                  for k in grp]
+        probes = [probe_fn(kt, plive, coord, bidx, k) for k in grp]
 
         @pl.when(nw > 1)
         def _(p=p):
@@ -628,8 +670,9 @@ def sk_subm_conv_q(
               if bias is not None else jnp.zeros((k_pad,), jnp.float32)
               ).reshape(1, k_pad)
 
-    deltas = (np.asarray(deltas_np, np.int32),
-              np.asarray(disp_np, np.int32).reshape(kv, len(dims)))
+    probe_fn = _probe_shift_fn(
+        (np.asarray(deltas_np, np.int32),
+         np.asarray(disp_np, np.int32).reshape(kv, len(dims))), dims)
     center = kv // 2
     wr = window // _LANE
 
@@ -665,8 +708,8 @@ def sk_subm_conv_q(
     )
     out_int8 = out_dtype == jnp.int8
     kernel = functools.partial(
-        _sk_fwd_kernel_q, kv, center, tile, window, c_pad, k_pad, deltas,
-        dims, sentinel, groups, n_tiles, act, out_int8,
+        _sk_fwd_kernel_q, kv, center, tile, window, c_pad, k_pad,
+        probe_fn, dims, sentinel, groups, n_tiles, act, out_int8,
     )
     out = pl.pallas_call(
         kernel,
@@ -679,7 +722,7 @@ def sk_subm_conv_q(
 
 
 def _sk_bwd_kernel(
-    kv, center, tile, window, c_pad, k_pad, deltas, dims, sentinel,
+    kv, center, tile, window, c_pad, k_pad, probe_fn, dims, sentinel,
     groups, n_tiles,
     ws_ref, nw_ref,
     kt_ref,      # [1, 1, tile] keys
@@ -711,7 +754,7 @@ def _sk_bwd_kernel(
 
     kt = kt_ref[0, 0]
     live = kt != sentinel
-    coord = _probe_coords(kt, dims)
+    coord, bidx = _probe_coords(kt, dims)
 
     def start_dma2(step, buf):
         tt = step // n_planes
@@ -741,17 +784,19 @@ def _sk_bwd_kernel(
             wf1_ref.at[buf], fsem1.at[buf],
         ).start()
 
-    ftb = ft_ref[:].astype(jnp.bfloat16)   # [tile, c_pad]
-    dt = dt_ref[:].astype(jnp.bfloat16)    # [tile, k_pad]
+    cdt = gbuf_ref.dtype
+    ftb = ft_ref[:].astype(cdt)   # [tile, c_pad]
+    dt = dt_ref[:].astype(cdt)    # [tile, k_pad]
 
-    # center: gather identity — din gets dt @ W[center]ᵀ via gbuf, and
-    # dW[center] += f_tileᵀ @ dout_tile
-    gbuf_ref[:, center * k_pad:(center + 1) * k_pad] = dt
-    dw_ref[center] += jax.lax.dot_general(
-        ftb, dt,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(dw_ref.dtype)
+    if center is not None:
+        # center: gather identity — din gets dt @ W[center]ᵀ via gbuf,
+        # and dW[center] += f_tileᵀ @ dout_tile
+        gbuf_ref[:, center * k_pad:(center + 1) * k_pad] = dt
+        dw_ref[center] += jax.lax.dot_general(
+            ftb, dt,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dw_ref.dtype)
 
     for p, grp in enumerate(groups):
         s = t * n_planes + p
@@ -776,8 +821,7 @@ def _sk_bwd_kernel(
 
         nw = nw_ref[p, t]
         plive = live & (nw > 0)
-        probes = [_offset_probe(kt, plive, coord, deltas, dims, k)
-                  for k in grp]
+        probes = [probe_fn(kt, plive, coord, bidx, k) for k in grp]
 
         @pl.when(nw > 1)
         def _(p=p):
@@ -807,7 +851,7 @@ def _sk_bwd_kernel(
         outs = jax.lax.fori_loop(1, nw, extra, outs)
 
         for i, k in enumerate(grp):
-            gb = outs[i].astype(jnp.bfloat16)
+            gb = outs[i].astype(cdt)
             gbuf_ref[:, k * k_pad:(k + 1) * k_pad] = gb
             dw_ref[k] += jax.lax.dot_general(
                 ftb, gb,
@@ -860,26 +904,35 @@ def _n_pad_for(n: int, tile: int, window: int) -> Tuple[int, int]:
 
 
 def _sk_conv_call(
-    features, keys, weight_kv, plan,
-    *, deltas_key, disp, dims, sentinel_i, tile, window, groups,
-    interpret=False,
+    table_feats, table_keys, tile_keys, tile_feats, weight_kv, plan,
+    *, probe_fn, decode_dims, sentinel_tile, center, groups, tile,
+    window, interpret=False,
 ):
-    """Shared fwd/dgrad kernel invocation (dgrad passes reversed deltas
-    and transposed per-offset weights)."""
-    n = keys.shape[0]
+    """Shared gather-GEMM kernel invocation.
+
+    Tiles run over ``tile_keys`` (the OUTPUT rows); gathers read
+    ``table_feats`` rows keyed by ``table_keys`` through ``probe_fn``.
+    For subm convs both key sets are the same and ``center`` enables the
+    identity shortcut; regular convs pass ``center=None``.
+    """
     kv, c, k_ch = weight_kv.shape
     c_pad = _round_up(c, _LANE)
     k_pad = _round_up(k_ch, _LANE)
-    n_tiles = -(-n // tile)
-    np_t, n_pad = _n_pad_for(n, tile, window)
+    n_tile = tile_keys.shape[0]
+    n_tiles = -(-n_tile // tile)
+    np_t = n_tiles * tile
+    _, n_pad = _n_pad_for(table_keys.shape[0], tile, window)
 
-    keys_p = _pad_rows(keys, n_pad, sentinel_i)
-    feat_p = _pad_lanes(_pad_rows(features, n_pad, 0), c_pad)
-    keys_tiles = keys_p[:np_t].reshape(n_tiles, 1, tile)
-    ksh = prep_keys_sh(keys_p)
-    wflat = _pad_lanes(
-        weight_kv.reshape(kv * c, k_ch), k_pad
-    )
+    tkeys_p = _pad_rows(table_keys, n_pad, np.int32(2**31 - 1))
+    feat_p = _pad_lanes(_pad_rows(table_feats, n_pad, 0), c_pad)
+    tile_keys_p = _pad_rows(tile_keys, np_t, sentinel_tile)
+    keys_tiles = tile_keys_p.reshape(n_tiles, 1, tile)
+    if tile_feats is None:
+        tf = jnp.zeros((np_t, c_pad), feat_p.dtype)
+    else:
+        tf = _pad_lanes(_pad_rows(tile_feats, np_t, 0), c_pad)
+    ksh = prep_keys_sh(tkeys_p)
+    wflat = _pad_lanes(weight_kv.reshape(kv * c, k_ch), k_pad)
     if c_pad != c:
         wkv = wflat.reshape(kv, c, k_pad)
         wkv = jnp.concatenate(
@@ -887,11 +940,11 @@ def _sk_conv_call(
         )
         wflat = wkv.reshape(kv * c_pad, k_pad)
 
-    deltas = (np.asarray(deltas_key, np.int32),
-              np.asarray(disp, np.int32).reshape(kv, len(dims)))
-    center = kv // 2
+    # bf16 tables compute through bf16 (exact one-hot gathers); f32
+    # tables keep a full-precision pipeline (f32 MXU)
+    comp_dtype = (jnp.float32 if feat_p.dtype == jnp.float32
+                  else jnp.bfloat16)
     wr = window // _LANE
-
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
@@ -911,7 +964,7 @@ def _sk_conv_call(
             pltpu.VMEM((2, window, c_pad), feat_p.dtype),
             pltpu.VMEM((2, wr, _LANE), jnp.int32),
             pltpu.VMEM((2, window, c_pad), feat_p.dtype),
-            pltpu.VMEM((tile, kv * c_pad), jnp.bfloat16),
+            pltpu.VMEM((tile, kv * c_pad), comp_dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -919,50 +972,57 @@ def _sk_conv_call(
         ],
     )
     kernel = functools.partial(
-        _sk_fwd_kernel, kv, center, tile, window, c_pad, k_pad, deltas,
-        tuple(dims), sentinel_i, groups, n_tiles,
+        _sk_fwd_kernel, kv, center, tile, window, c_pad, k_pad, probe_fn,
+        tuple(decode_dims), sentinel_tile, groups, n_tiles,
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, tile, k_pad),
-                                       features.dtype),
+                                       table_feats.dtype),
         interpret=interpret,
-    )(plan.ws, plan.nw, keys_tiles, feat_p[:np_t], ksh, feat_p,
-      wflat.astype(jnp.bfloat16))
-    return out.reshape(np_t, k_pad)[:n, :k_ch]
+    )(plan.ws, plan.nw, keys_tiles, tf, ksh, feat_p,
+      wflat.astype(comp_dtype))
+    return out.reshape(np_t, k_pad)[:n_tile, :k_ch]
 
 
 def _sk_bwd_call(
-    features, dout, keys, weight_kv, plan_bwd,
-    *, deltas_key, disp, dims, sentinel_i, tile, window, groups,
-    interpret=False,
+    tile_feats, tile_keys, dout_table, table_keys, weight_kv, plan_bwd,
+    *, probe_fn, decode_dims, sentinel_tile, center, groups, tile,
+    window, interpret=False,
 ):
-    """Fused dgrad+wgrad: probes are the REVERSED deltas (caller passes
-    them negated); plan must be the bwd plan."""
-    n = keys.shape[0]
+    """Fused dgrad+wgrad: tiles run over the INPUT rows (``tile_feats``
+    is the wgrad operand); gathers read ``dout_table`` rows keyed by
+    ``table_keys`` through ``probe_fn`` (reversed/divide probes).
+    Returns ``(din [n_tile, C], dw [kv, C, K])``."""
+    n_tile = tile_keys.shape[0]
     kv, c, k_ch = weight_kv.shape
     c_pad = _round_up(c, _LANE)
     k_pad = _round_up(k_ch, _LANE)
-    n_tiles = -(-n // tile)
-    np_t, n_pad = _n_pad_for(n, tile, window)
+    n_tiles = -(-n_tile // tile)
+    np_t = n_tiles * tile
+    _, n_pad = _n_pad_for(table_keys.shape[0], tile, window)
 
-    keys_p = _pad_rows(keys, n_pad, sentinel_i)
-    feat_p = _pad_lanes(_pad_rows(features, np_t, 0), c_pad)
-    dout_p = _pad_lanes(_pad_rows(dout, n_pad, 0), k_pad)
-    keys_tiles = keys_p[:np_t].reshape(n_tiles, 1, tile)
-    ksh = prep_keys_sh(keys_p)
+    tkeys_p = _pad_rows(table_keys, n_pad, np.int32(2**31 - 1))
+    feat_p = _pad_lanes(_pad_rows(tile_feats, np_t, 0), c_pad)
+    dout_p = _pad_lanes(_pad_rows(dout_table, n_pad, 0), k_pad)
+    tile_keys_p = _pad_rows(tile_keys, np_t, sentinel_tile)
+    keys_tiles = tile_keys_p.reshape(n_tiles, 1, tile)
+    ksh = prep_keys_sh(tkeys_p)
+    if center is not None:
+        # subm: table rows align with tile rows — center gather identity
+        dt = dout_p[:np_t]
+    else:
+        dt = jnp.zeros((np_t, k_pad), dout_p.dtype)
 
+    comp_dtype = (jnp.float32 if dout_p.dtype == jnp.float32
+                  else jnp.bfloat16)
     # dgrad weights: blocks W[k]ᵀ [k_pad, c_pad]
     wrev = jnp.transpose(weight_kv, (0, 2, 1))  # [kv, K, C]
     wrev = jnp.pad(wrev, ((0, 0), (0, k_pad - k_ch), (0, c_pad - c)))
     wrev_flat = wrev.reshape(kv * k_pad, c_pad)
 
-    deltas = (np.asarray(deltas_key, np.int32),
-              np.asarray(disp, np.int32).reshape(kv, len(dims)))
-    center = kv // 2
     wr = window // _LANE
-
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
@@ -988,7 +1048,7 @@ def _sk_bwd_call(
             pltpu.VMEM((2, window, k_pad), dout_p.dtype),
             pltpu.VMEM((2, wr, _LANE), jnp.int32),
             pltpu.VMEM((2, window, k_pad), dout_p.dtype),
-            pltpu.VMEM((tile, kv * k_pad), jnp.bfloat16),
+            pltpu.VMEM((tile, kv * k_pad), comp_dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -996,31 +1056,42 @@ def _sk_bwd_call(
         ],
     )
     kernel = functools.partial(
-        _sk_bwd_kernel, kv, center, tile, window, c_pad, k_pad, deltas,
-        tuple(dims), sentinel_i, groups, n_tiles,
+        _sk_bwd_kernel, kv, center, tile, window, c_pad, k_pad, probe_fn,
+        tuple(decode_dims), sentinel_tile, groups, n_tiles,
     )
     din, dw = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, tile, c_pad), features.dtype),
+            jax.ShapeDtypeStruct((n_tiles, tile, c_pad),
+                                 tile_feats.dtype),
             jax.ShapeDtypeStruct((kv, c_pad, k_pad), jnp.float32),
         ],
         interpret=interpret,
-    )(plan_bwd.ws, plan_bwd.nw, keys_tiles, feat_p[:np_t],
-      dout_p[:np_t], ksh, dout_p, wrev_flat.astype(jnp.bfloat16))
-    return din.reshape(np_t, c_pad)[:n, :c], dw[:, :c, :k_ch]
+    )(plan_bwd.ws, plan_bwd.nw, keys_tiles, feat_p[:np_t], dt, ksh,
+      dout_p, wrev_flat.astype(comp_dtype))
+    return din.reshape(np_t, c_pad)[:n_tile, :c], dw[:, :c, :k_ch]
+
+
+def _geom_deltas(geom: "_SKGeom"):
+    ndim = len(geom.dims)
+    kv = len(geom.deltas_key)
+    return (np.asarray(geom.deltas_key, np.int32),
+            np.asarray(geom.disp, np.int32).reshape(kv, ndim))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _sk_conv(features, keys, weight_kv, plans, geom: _SKGeom):
-    """plans = (plan_fwd, plan_bwd); plan_bwd uses reversed deltas."""
+    """Subm conv custom-vjp core; plans = (plan_fwd, plan_bwd) where
+    plan_bwd was built with reversed deltas."""
     plan_fwd, _ = plans
+    kv = len(geom.deltas_key)
     return _sk_conv_call(
-        features, keys, weight_kv, plan_fwd,
-        deltas_key=geom.deltas_key, disp=geom.disp, dims=geom.dims,
-        sentinel_i=geom.sentinel, tile=geom.tile, window=geom.window,
-        groups=geom.groups, interpret=geom.interpret,
+        features, keys, keys, features, weight_kv, plan_fwd,
+        probe_fn=_probe_shift_fn(_geom_deltas(geom), geom.dims),
+        decode_dims=geom.dims, sentinel_tile=geom.sentinel,
+        center=kv // 2, groups=geom.groups, tile=geom.tile,
+        window=geom.window, interpret=geom.interpret,
     )
 
 
@@ -1033,14 +1104,16 @@ def _sk_conv_bwd(geom, res, g):
     features, keys, weight_kv, plans = res
     plan_fwd, plan_bwd = plans
     g = g.astype(features.dtype)
+    kv = len(geom.deltas_key)
     # fused dgrad+wgrad: one gather of dout at the reversed-offset probes
-    rev_deltas = tuple(-d for d in geom.deltas_key)
-    rev_disp = tuple(-d for d in geom.disp)
+    deltas, disp = _geom_deltas(geom)
+    rev = (-deltas, -disp)
     din, dw_kv = _sk_bwd_call(
-        features, g, keys, weight_kv, plan_bwd,
-        deltas_key=rev_deltas, disp=rev_disp, dims=geom.dims,
-        sentinel_i=geom.sentinel, tile=geom.tile, window=geom.window,
-        groups=geom.groups, interpret=geom.interpret,
+        features, keys, g, keys, weight_kv, plan_bwd,
+        probe_fn=_probe_shift_fn(rev, geom.dims),
+        decode_dims=geom.dims, sentinel_tile=geom.sentinel,
+        center=kv // 2, groups=geom.groups, tile=geom.tile,
+        window=geom.window, interpret=geom.interpret,
     )
     din = din.astype(features.dtype)
     dw = dw_kv.astype(weight_kv.dtype)
@@ -1052,6 +1125,236 @@ def _sk_conv_bwd(geom, res, g):
 
 
 _sk_conv.defvjp(_sk_conv_fwd, _sk_conv_bwd)
+
+
+class _SKRegGeom(NamedTuple):
+    """Static geometry for the regular/inverse sorted-key conv (encoder
+    perspective: IN = the conv's input space, OUT = its strided output
+    space)."""
+    stride: tuple
+    disp: tuple       # flattened [kv * ndim] off*dil - pad
+    in_dims: tuple
+    out_dims: tuple
+    sent_in: int
+    sent_out: int
+    tile: int
+    window: int
+    groups: tuple
+    inverse: bool
+    interpret: bool
+
+
+def _reg_disp(geom: _SKRegGeom):
+    ndim = len(geom.in_dims)
+    return np.asarray(geom.disp, np.int32).reshape(-1, ndim)
+
+
+def _clamped_affine_probes(bkeys, stride, disp, decode_dims, table_dims):
+    """PLAN-side OUT→IN boundary probes.
+
+    Coordinates are deliberately NOT clipped into range: per-axis
+    clipping collapses distinct coordinates and later axes then invert
+    the lexicographic order (measured: plan windows excluded real
+    matches).  Out-of-range coordinates just form "pseudo-keys" — still
+    strictly monotone, and ranks against the real table remain valid
+    lower/upper bounds."""
+    ndim = len(decode_dims)
+    rem = bkeys
+    coord = []
+    for v in reversed(decode_dims):
+        coord.append(rem % v)
+        rem = rem // v
+    coord = coord[::-1]
+    probes = []
+    for k in range(disp.shape[0]):
+        key = rem
+        for a in range(ndim):
+            ca = coord[a] * int(stride[a]) + int(disp[k][a])
+            key = key * table_dims[a] + ca
+        probes.append(key.astype(jnp.int32))
+    return jnp.stack(probes)
+
+
+def _clamped_divide_probes(bkeys, stride, disp, decode_dims, table_dims):
+    """PLAN-side IN→OUT boundary probes (floor division, unclipped — see
+    :func:`_clamped_affine_probes`)."""
+    ndim = len(decode_dims)
+    rem = bkeys
+    coord = []
+    for v in reversed(decode_dims):
+        coord.append(rem % v)
+        rem = rem // v
+    coord = coord[::-1]
+    probes = []
+    for k in range(disp.shape[0]):
+        key = rem
+        for a in range(ndim):
+            ca = (coord[a] - int(disp[k][a])) // int(stride[a])
+            key = key * table_dims[a] + ca
+        probes.append(key.astype(jnp.int32))
+    return jnp.stack(probes)
+
+
+def build_sk_reg_plans(in_keys, out_keys, geom: _SKRegGeom):
+    """(plan_io, plan_oi): windows over the IN table for OUT tiles, and
+    over the OUT table for IN tiles.  The regular conv uses (fwd=io,
+    bwd=oi); the inverse conv of the same encoder uses the swap — one
+    cache serves both (the reference's rulebook-reuse role,
+    ``conv.py:348-363``)."""
+    disp = _reg_disp(geom)
+    tile, window = geom.tile, geom.window
+    n_in = in_keys.shape[0]
+    n_out = out_keys.shape[0]
+    nt_out = -(-n_out // tile) * tile
+    nt_in = -(-n_in // tile) * tile
+    _, npad_in = _n_pad_for(n_in, tile, window)
+    _, npad_out = _n_pad_for(n_out, tile, window)
+    in_p = _pad_rows(in_keys, max(nt_in, npad_in), geom.sent_in)
+    out_p = _pad_rows(out_keys, max(nt_out, npad_out), geom.sent_out)
+
+    bk_out = out_p[:nt_out][::tile]
+    probes_io = jnp.minimum(
+        _clamped_affine_probes(bk_out, geom.stride, disp, geom.out_dims,
+                               geom.in_dims), geom.sent_in)
+    plan_io = _plan_from_probes(
+        in_p[:npad_in] if npad_in >= nt_in else in_p,
+        probes_io, bk_out != geom.sent_out, geom.sent_in,
+        groups=geom.groups, window=window, n_pad=npad_in,
+    )
+
+    bk_in = in_p[:nt_in][::tile]
+    probes_oi = jnp.minimum(
+        _clamped_divide_probes(bk_in, geom.stride, disp, geom.in_dims,
+                               geom.out_dims), geom.sent_out)
+    plan_oi = _plan_from_probes(
+        out_p[:npad_out] if npad_out >= nt_out else out_p,
+        probes_oi, bk_in != geom.sent_in, geom.sent_out,
+        groups=geom.groups, window=window, n_pad=npad_out,
+    )
+    return plan_io, plan_oi
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _sk_reg_conv(features, in_keys, out_keys, weight_kv, plans,
+                 geom: _SKRegGeom):
+    """Regular (strided) or inverse sorted-key conv core.
+
+    Regular: output rows = ``out_keys`` sites, gathers the IN table via
+    OUT→IN affine probes.  Inverse: output rows = ``in_keys`` sites
+    (the encoder's inputs), gathers the OUT table via IN→OUT divide
+    probes with ``W[k]`` un-transposed (pair-swap semantics,
+    ``conv.py:348-363``)."""
+    disp = _reg_disp(geom)
+    plan_io, plan_oi = plans
+    if not geom.inverse:
+        return _sk_conv_call(
+            features, in_keys, out_keys, None, weight_kv, plan_io,
+            probe_fn=_probe_affine_fn(geom.stride, disp, geom.in_dims),
+            decode_dims=geom.out_dims, sentinel_tile=geom.sent_out,
+            center=None, groups=geom.groups, tile=geom.tile,
+            window=geom.window, interpret=geom.interpret,
+        )
+    return _sk_conv_call(
+        features, out_keys, in_keys, None, weight_kv, plan_oi,
+        probe_fn=_probe_divide_fn(geom.stride, disp, geom.out_dims),
+        decode_dims=geom.in_dims, sentinel_tile=geom.sent_in,
+        center=None, groups=geom.groups, tile=geom.tile,
+        window=geom.window, interpret=geom.interpret,
+    )
+
+
+def _sk_reg_conv_fwd(features, in_keys, out_keys, weight_kv, plans, geom):
+    out = _sk_reg_conv(features, in_keys, out_keys, weight_kv, plans,
+                       geom)
+    return out, (features, in_keys, out_keys, weight_kv, plans)
+
+
+def _sk_reg_conv_bwd(geom, res, g):
+    features, in_keys, out_keys, weight_kv, plans = res
+    plan_io, plan_oi = plans
+    g = g.astype(features.dtype)
+    disp = _reg_disp(geom)
+    if not geom.inverse:
+        # tiles over IN rows (features = wgrad operand), gather dout over
+        # the OUT table via divide probes
+        din, dw_kv = _sk_bwd_call(
+            features, in_keys, g, out_keys, weight_kv, plan_oi,
+            probe_fn=_probe_divide_fn(geom.stride, disp, geom.out_dims),
+            decode_dims=geom.in_dims, sentinel_tile=geom.sent_in,
+            center=None, groups=geom.groups, tile=geom.tile,
+            window=geom.window, interpret=geom.interpret,
+        )
+    else:
+        # inverse: features live on enc-OUT rows; dout lives on enc-IN
+        din, dw_kv = _sk_bwd_call(
+            features, out_keys, g, in_keys, weight_kv, plan_io,
+            probe_fn=_probe_affine_fn(geom.stride, disp, geom.in_dims),
+            decode_dims=geom.out_dims, sentinel_tile=geom.sent_out,
+            center=None, groups=geom.groups, tile=geom.tile,
+            window=geom.window, interpret=geom.interpret,
+        )
+    zf = jax.dtypes.float0
+    return (din.astype(features.dtype),
+            np.zeros(in_keys.shape, dtype=zf),
+            np.zeros(out_keys.shape, dtype=zf),
+            dw_kv.astype(weight_kv.dtype),
+            jax.tree_util.tree_map(
+                lambda x: np.zeros(np.shape(x), dtype=zf), plans))
+
+
+_sk_reg_conv.defvjp(_sk_reg_conv_fwd, _sk_reg_conv_bwd)
+
+
+def sk_regular_conv(
+    features: jax.Array,    # [N_in, C] (regular) or [N_out, C] (inverse)
+    in_keys: jax.Array,     # [N_in] sorted enc-input keys
+    out_keys: jax.Array,    # [N_out] sorted enc-output keys
+    weight: jax.Array,      # KRSC [K, *ksize, C]
+    *,
+    in_shape: Sequence[int],
+    out_shape: Sequence[int],
+    batch_size: int,
+    stride: Sequence[int],
+    padding: Sequence[int],
+    dilation: Sequence[int],
+    inverse: bool = False,
+    tile: int = 128,
+    window: int = 384,
+    plans=None,
+    interpret: bool = False,
+):
+    """Rulebook-free regular/inverse sparse conv on sorted keys.
+
+    Output discovery (for regular convs) happens outside — pass the
+    resulting ``out_keys``.  Returns features on the OUT sites (regular)
+    or the IN sites (inverse).  Differentiable (fused dgrad+wgrad)."""
+    ksize = tuple(int(k) for k in weight.shape[1:-1])
+    k_out = weight.shape[0]
+    c = weight.shape[-1]
+    kv = int(np.prod(ksize))
+    ndim = len(ksize)
+    offs = C.kernel_offsets(ksize)  # [kv, ndim]
+    disp = (offs * np.asarray([int(d) for d in dilation])
+            - np.asarray([int(p) for p in padding])).astype(np.int32)
+    geom = _SKRegGeom(
+        stride=tuple(int(v) for v in stride),
+        disp=tuple(int(v) for v in disp.reshape(-1)),
+        in_dims=tuple(int(v) for v in in_shape),
+        out_dims=tuple(int(v) for v in out_shape),
+        sent_in=int(np.prod([int(v) for v in in_shape])) * int(batch_size),
+        sent_out=int(np.prod([int(v) for v in out_shape]))
+        * int(batch_size),
+        tile=tile, window=window,
+        groups=sk_groups(ksize, include_center=True),
+        inverse=bool(inverse), interpret=bool(interpret),
+    )
+    weight_kv = jnp.transpose(
+        weight.reshape(k_out, kv, c), (1, 2, 0)
+    )  # [kv, C, K]
+    if plans is None:
+        plans = build_sk_reg_plans(in_keys, out_keys, geom)
+    return _sk_reg_conv(features, in_keys, out_keys, weight_kv, plans,
+                        geom), plans, geom
 
 
 def sk_subm_conv(
@@ -1176,3 +1479,46 @@ def _skdata_unflatten(aux, children):
 
 jax.tree_util.register_pytree_node(SKData, _skdata_flatten,
                                    _skdata_unflatten)
+
+class SKRegData:
+    """Cached sorted-key state for a strided conv stage: in/out keys,
+    output sites, and the (io, oi) window-plan pair.  An inverse conv
+    sharing the ``indice_key`` reuses everything with the plans swapped
+    (the reference's rulebook-reuse semantics, ``conv.py:348-363``)."""
+
+    def __init__(self, in_keys, out_keys, out_indices, num_out, plans, *,
+                 ksize, stride, padding, dilation, in_shape, out_shape,
+                 tile, window):
+        self.in_keys = in_keys
+        self.out_keys = out_keys
+        self.out_indices = out_indices
+        self.num_out = num_out
+        self.plans = plans
+        self.ksize = tuple(ksize)
+        self.stride = tuple(stride)
+        self.padding = tuple(padding)
+        self.dilation = tuple(dilation)
+        self.in_shape = tuple(in_shape)
+        self.out_shape = tuple(out_shape)
+        self.tile = int(tile)
+        self.window = int(window)
+
+
+def _skreg_flatten(obj):
+    return ((obj.in_keys, obj.out_keys, obj.out_indices, obj.num_out,
+             obj.plans),
+            (obj.ksize, obj.stride, obj.padding, obj.dilation,
+             obj.in_shape, obj.out_shape, obj.tile, obj.window))
+
+
+def _skreg_unflatten(aux, children):
+    obj = object.__new__(SKRegData)
+    (obj.in_keys, obj.out_keys, obj.out_indices, obj.num_out,
+     obj.plans) = children
+    (obj.ksize, obj.stride, obj.padding, obj.dilation, obj.in_shape,
+     obj.out_shape, obj.tile, obj.window) = aux
+    return obj
+
+
+jax.tree_util.register_pytree_node(SKRegData, _skreg_flatten,
+                                   _skreg_unflatten)

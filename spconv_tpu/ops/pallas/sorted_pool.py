@@ -53,11 +53,12 @@ def _pool_groups(ndim: int) -> Tuple[Tuple[int, ...], ...]:
 def pool2_probe_keys(out_keys, out_dims, in_dims):
     """PLAN-side child keys [kv, M] of each parent boundary key.
 
-    Out-of-range child coordinates (odd input edges) are CLAMPED to
-    ``in_dim − 1``: the clamped map stays strictly lexicographically
-    monotone across parents and lower/upper-bounds every real match of
-    the offset, so plan windows still cover (kernel-side probes use −1
-    for the same case and simply match nothing)."""
+    Out-of-range child coordinates (odd input edges) are NOT clamped —
+    per-axis clamping collapses distinct coordinates and later axes can
+    invert the lexicographic order.  The raw affine map is strictly
+    monotone; out-of-range values form pseudo-keys whose table ranks
+    still bound every real match (kernel-side probes use −1 for the
+    out-of-range case and simply match nothing)."""
     ndim = len(out_dims)
     offs = _pool_offsets(ndim)
     rem = out_keys
@@ -71,7 +72,7 @@ def pool2_probe_keys(out_keys, out_dims, in_dims):
     for off in offs:
         key = b
         for a in range(ndim):
-            ca = jnp.minimum(coord[a] * 2 + int(off[a]), in_dims[a] - 1)
+            ca = coord[a] * 2 + int(off[a])
             key = key * in_dims[a] + ca
         probes.append(key.astype(jnp.int32))
     return jnp.stack(probes)  # [kv, M]

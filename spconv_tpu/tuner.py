@@ -121,8 +121,7 @@ class ConvTuner:
 
         backend = backend or jax.default_backend()
         if (
-            subm
-            and sk_supported
+            sk_supported
             and backend != "cpu"
             and dtype in ("bfloat16", "float16")
         ):

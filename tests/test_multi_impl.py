@@ -45,11 +45,11 @@ class _Net(spconv_tpu.Module):
             16, 16, 3, bias=True, indice_key="s0", algo=a, key=ks[1])
         self.down = spconv_tpu.SparseConv3d(
             16, 32, 3, stride=2, padding=1, indice_key="d0",
-            algo="native", key=ks[2], out_bound_ratio=2.0)
+            algo=a, key=ks[2], out_bound_ratio=2.0)
         self.c2 = spconv_tpu.SubMConv3d(
             32, 32, 3, bias=False, indice_key="s1", algo=a, key=ks[3])
         self.up = spconv_tpu.SparseInverseConv3d(
-            32, 16, 3, indice_key="d0", algo="native", key=ks[4])
+            32, 16, 3, indice_key="d0", algo=a, key=ks[4])
         self.c3 = spconv_tpu.SubMConv3d(
             16, 8, 3, bias=True, indice_key="s0", algo=a, key=ks[5])
         self.layers = [self.c0, self.c1, self.down, self.c2, self.up,

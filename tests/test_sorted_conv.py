@@ -276,3 +276,87 @@ def test_sk_pool_module_path(rng):
     np.testing.assert_allclose(np.asarray(y1.features),
                                np.asarray(y2.features), rtol=1e-4,
                                atol=1e-4)
+
+
+@pytest.mark.parametrize("ksize,stride,padding",
+                         [((3, 3, 3), (2, 2, 2), (1, 1, 1)),
+                          ((3, 1, 1), (2, 1, 1), (0, 0, 0)),
+                          ((2, 2, 2), (2, 2, 2), (0, 0, 0))])
+def test_sk_regular_conv_vs_rulebook(rng, ksize, stride, padding):
+    """Strided sorted-key conv (fwd + input/weight grads) vs the
+    rulebook gather path, plus the inverse conv via swapped plans."""
+    from spconv_tpu.ops.gather_gemm import indice_conv
+    from spconv_tpu.ops.pallas.sorted_conv import sk_regular_conv
+    from spconv_tpu.ops.rulebook import (build_conv_outputs,
+                                         build_conv_rulebook)
+    from spconv_tpu.ops import coords as CC
+
+    shape = (13, 14, 15)
+    c, k_out = 8, 16
+    feats, inds = _sorted_input(rng, shape, 400, c, 512)
+    in_keys, _ = _keys_of(inds, shape, 1)
+    w = jnp.asarray(rng.randn(k_out, *ksize, c).astype(np.float32) * 0.1)
+    dil = (1, 1, 1)
+
+    out_indices, out_keys, num_out = build_conv_outputs(
+        inds, spatial_shape=shape, batch_size=1, ksize=ksize,
+        stride=stride, padding=padding, dilation=dil, out_bound=512)
+    out_shape = tuple(int(v) for v in CC.get_conv_output_size(
+        shape, ksize, stride, padding, dil))
+
+    out, plans, geom = sk_regular_conv(
+        feats, in_keys, out_keys, w, in_shape=shape, out_shape=out_shape,
+        batch_size=1, stride=stride, padding=padding, dilation=dil,
+        interpret=True)
+
+    data = build_conv_rulebook(
+        inds, spatial_shape=shape, batch_size=1, ksize=ksize,
+        stride=stride, padding=padding, dilation=dil, out_bound=512)
+    np.testing.assert_array_equal(np.asarray(out_indices),
+                                  np.asarray(data.out_indices))
+    ref = indice_conv(feats, w, data.pair_fwd, data.pair_bwd,
+                      is_subm=False)
+    ref = jnp.where((data.out_indices[:, 0] >= 0)[:, None], ref, 0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-3, atol=1e-3)
+
+    # grads
+    cot = jnp.asarray(rng.randn(*np.asarray(ref).shape), jnp.float32)
+    cot = jnp.where((data.out_indices[:, 0] >= 0)[:, None], cot, 0)
+
+    def loss_sk(f, ww):
+        o, _, _ = sk_regular_conv(
+            f, in_keys, out_keys, ww, in_shape=shape,
+            out_shape=out_shape, batch_size=1, stride=stride,
+            padding=padding, dilation=dil, plans=plans, interpret=True)
+        return jnp.sum(o * cot)
+
+    def loss_ref(f, ww):
+        o = indice_conv(f, ww, data.pair_fwd, data.pair_bwd,
+                        is_subm=False)
+        return jnp.sum(o * cot)
+
+    gf, gw = jax.grad(loss_sk, argnums=(0, 1))(feats, w)
+    gf_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(feats, w)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gf_r),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_r),
+                               rtol=1e-3, atol=1e-3)
+
+    # ---- inverse conv: decoder over the same geometry (swapped plans)
+    w_inv = jnp.asarray(
+        rng.randn(c, *ksize, k_out).astype(np.float32) * 0.1)
+    dec_in = jnp.where((out_indices[:, 0] >= 0)[:, None],
+                       jnp.asarray(rng.randn(512, k_out), jnp.float32), 0)
+    inv_out, _, _ = sk_regular_conv(
+        dec_in, in_keys, out_keys, w_inv, in_shape=shape,
+        out_shape=out_shape, batch_size=1, stride=stride,
+        padding=padding, dilation=dil, inverse=True, plans=plans,
+        interpret=True)
+    # reference: swapped pairs through indice_conv
+    ref_inv = indice_conv(dec_in, w_inv, data.pair_bwd, data.pair_fwd,
+                          is_subm=False)
+    ref_inv = jnp.where((inds[:, 0] >= 0)[:, None], ref_inv, 0)
+    inv_out = jnp.where((inds[:, 0] >= 0)[:, None], inv_out, 0)
+    np.testing.assert_allclose(np.asarray(inv_out), np.asarray(ref_inv),
+                               rtol=1e-3, atol=1e-3)
