@@ -606,7 +606,8 @@ def _sk_fwd_kernel_q(
     if act == "relu":
         y = jnp.maximum(y, 0.0)
     if out_int8:
-        y = jnp.clip(jnp.round(y), -128.0, 127.0)
+        # symmetric int8 like the reference int8 path (±127)
+        y = jnp.clip(jnp.round(y), -127.0, 127.0)
     out_ref[0] = y.astype(out_ref.dtype)
 
 

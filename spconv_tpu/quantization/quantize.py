@@ -145,6 +145,38 @@ class QuantizedSparseConv(Module):
         c_in = self.weight_i8.shape[-1]
         wkv = jnp.transpose(self.weight_i8.reshape(k_out, kv, c_in), (1, 2, 0))
 
+        from ..ops import coords as _C
+
+        # fused int8 sorted-key kernel for subm convs when the residual
+        # add isn't present (the fused epilogue covers scale/bias/act);
+        # residual-fused and non-subm variants take the gather path
+        if (
+            cfg.subm
+            and add_input is None
+            and not _C.use_pair_keys(x.spatial_shape, x.batch_size)
+            and (jax.default_backend() != "cpu")
+        ):
+            from ..ops.pallas.sorted_conv import sk_subm_conv_q
+
+            keys, _ = _C.linearize(x.indices, x.spatial_shape,
+                                   x.batch_size)
+            scale = (self.input_scale * self.weight_scale
+                     / self.output_scale)
+            bias = (self.bias / self.output_scale
+                    if self.bias is not None else None)
+            q = sk_subm_conv_q(
+                x.features, keys, self.weight_i8, scale, bias,
+                spatial_shape=tuple(int(v) for v in x.spatial_shape),
+                batch_size=x.batch_size, dilation=cfg.dilation,
+                act=self.act_type, out_dtype=jnp.int8,
+            )
+            valid = x.indices[:, 0] >= 0
+            q = jnp.where(valid[:, None], q, 0)
+            return SparseConvTensor(
+                q, x.indices, x.spatial_shape, x.batch_size,
+                num_voxels=x.num_voxels,
+                indice_dict=dict(x.indice_dict))
+
         if cfg.subm:
             from ..ops.rulebook import build_subm_rulebook
 

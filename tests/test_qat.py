@@ -32,7 +32,10 @@ def test_fake_quant_ste():
 
 def test_qat_module_trains_and_converts(rng):
     x = make_input(rng)
-    conv = spconv_tpu.SubMConv3d(4, 8, 3, bias=False, indice_key="q")
+    # explicit key: module init otherwise depends on a process-global
+    # counter, making the quantization-error margin order-dependent
+    conv = spconv_tpu.SubMConv3d(4, 8, 3, bias=False, indice_key="q",
+                                 key=jax.random.PRNGKey(11))
     bn = spconv_tpu.BatchNorm1d(8)
     qm = QATConvBnReLU(conv, bn, relu=True)
 

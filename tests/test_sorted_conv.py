@@ -200,7 +200,7 @@ def test_sk_int8_conv_vs_reference(rng):
     acc = _int8_gather_mm(fi8, wkv, data.pair_fwd, 13)
     y = acc.astype(jnp.float32) * scale[None, :] + bias[None, :]
     y = jnp.maximum(y, 0.0)
-    ref = jnp.clip(jnp.round(y), -128, 127).astype(jnp.int8)
+    ref = jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
     valid = np.asarray(inds[:, 0] >= 0)
     np.testing.assert_array_equal(np.asarray(out)[valid],
                                   np.asarray(ref)[valid])
