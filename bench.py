@@ -16,7 +16,7 @@ CenterPoint north star ≤5 ms/scan.  vs_baseline = baseline / ours.
 Flags:
   --algo=auto|native|sk|block  compute path (default: auto — tuner-resolved;
                         on TPU subm convs run the fused sorted-key kernel)
-  --only=basic|large|cp run a single section (debugging)
+  --only=basic|large|cp|int8 run a single section (debugging)
   --skip-bwd            skip backward measurements
 """
 
@@ -214,6 +214,78 @@ def run_centerpoint(algo, floor_ms):
     return ms
 
 
+def run_int8(floor_ms):
+    """int8 vs bf16 on one stage-0-sized subm conv (reference int8 story:
+    1.2-2.7x over f16 at C,K>=64, docs/INT8_GUIDE.md)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from spconv_tpu.benchmark.basic import load_basic_data, make_bench_input
+    from spconv_tpu.ops import coords as C
+    from spconv_tpu.ops.pallas import sorted_conv as SK
+
+    voxels, coors, spatial_shape = load_basic_data()
+    x = make_bench_input(voxels, coors, spatial_shape, dtype=jnp.bfloat16)
+    shape = tuple(int(s) for s in spatial_shape)
+    n = x.indices.shape[0]
+    cch = kout = 128
+    rng = np.random.RandomState(0)
+    fbf = jnp.asarray(rng.randn(n, cch) * 0.3, jnp.bfloat16)
+    fi8 = jnp.asarray(rng.randint(-100, 100, (n, cch)), jnp.int8)
+    wbf = jnp.asarray(rng.randn(kout, 3, 3, 3, cch) * 0.05, jnp.bfloat16)
+    wi8 = jnp.asarray(rng.randint(-80, 80, (kout, 3, 3, 3, cch)), jnp.int8)
+    scale = jnp.asarray(rng.uniform(0.001, 0.01, (kout,)), jnp.float32)
+    keys, _ = C.linearize(x.indices, shape, 1)
+    deltas_np, _ = SK.subm_key_deltas((3, 3, 3), (1, 1, 1), shape)
+    groups = SK.sk_groups((3, 3, 3))
+    T, W = 128, 256
+    np_t, n_pad = SK._n_pad_for(n, T, W)
+    sent = int(np.prod(shape))
+    plans = SK.build_sk_plans(SK._pad_rows(keys, np_t, sent), sent,
+                              deltas_np, groups, tile=T, window=W,
+                              n_pad=n_pad)
+    REP = 8
+
+    def timeit(f, arg):
+        jf = jax.jit(f)
+        float(jf(arg))
+        best = 1e9
+        for _ in range(3):
+            t0 = time.time()
+            float(jf(arg))
+            best = min(best, time.time() - t0)
+        return best * 1000 / REP - floor_ms / REP
+
+    def bf(ff):
+        def body(_, c):
+            f2 = ff * (1.0 + 0.0 * c).astype(ff.dtype)
+            o = SK.sk_subm_conv(f2, x.indices, keys, wbf,
+                                spatial_shape=shape, batch_size=1,
+                                dilation=(1, 1, 1), tile=T, window=W,
+                                plans=plans)
+            return c + jnp.sum(o.astype(jnp.float32))
+        return jax.lax.fori_loop(0, REP, body, jnp.float32(0))
+
+    def i8(ff):
+        def body(_, c):
+            f2 = (ff.astype(jnp.int32)
+                  + (c > 1e30).astype(jnp.int32)).astype(jnp.int8)
+            o = SK.sk_subm_conv_q(f2, keys, wi8, scale, None,
+                                  spatial_shape=shape, batch_size=1,
+                                  dilation=(1, 1, 1), tile=T, window=W,
+                                  plans=plans)
+            return c + jnp.sum(o.astype(jnp.float32))
+        return jax.lax.fori_loop(0, REP, body, jnp.float32(0))
+
+    ms_bf = timeit(bf, fbf)
+    ms_i8 = timeit(i8, fi8)
+    _emit("int8 subm conv ms (125k voxels, C=K=128; bf16 same layer "
+          f"{ms_bf:.2f} ms)", ms_i8, ms_bf)
+
+
 def main():
     import jax
 
@@ -237,6 +309,8 @@ def main():
         run_bench_net(True, algo, do_bwd, floor_ms)
     if only in (None, "cp"):
         run_centerpoint(algo, floor_ms)
+    if only in (None, "int8"):
+        run_int8(floor_ms)
 
 
 if __name__ == "__main__":

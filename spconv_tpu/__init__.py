@@ -34,3 +34,5 @@ __all__ = [
     "functional",
     "sparse_add",
 ]
+
+from .constants import ConvAlgo  # noqa: E402

@@ -30,3 +30,17 @@ SPCONV_DEFAULT_ALGO = os.getenv("SPCONV_TPU_ALGO", "native")
 SPCONV_TUNE_CACHE = os.getenv(
     "SPCONV_TPU_TUNE_CACHE", str(Path.home() / ".cache" / "spconv_tpu")
 )
+
+import enum
+
+
+class ConvAlgo(enum.Enum):
+    """Drop-in shim for the reference enum (``spconv/core.py:25``:
+    Native / MaskImplicitGemm / MaskSplitImplicitGemm).  Our algorithms
+    are strings internally; modules accept either.  The two implicit-gemm
+    variants both map to the fused sorted-key kernel — the TPU design
+    that plays the masked-implicit-GEMM role."""
+
+    Native = "native"
+    MaskImplicitGemm = "sk"
+    MaskSplitImplicitGemm = "sk"

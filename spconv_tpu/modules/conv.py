@@ -104,7 +104,10 @@ class SparseConvolution(Module):
         self.indice_key = indice_key
         # None/"auto" resolves per call via the tuner (reference parity:
         # ConvAlgo auto-selection, conv.py:110-125; tuner cache-key design
-        # convops.py:1283-1301)
+        # convops.py:1283-1301).  The reference's ConvAlgo enum values are
+        # accepted as a drop-in shim.
+        if algo is not None and not isinstance(algo, str):
+            algo = getattr(algo, "value", algo)
         self.algo = algo or "auto"
         self.fp32_accum = True if fp32_accum is None else fp32_accum
         self.out_bound = out_bound

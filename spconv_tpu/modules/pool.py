@@ -53,6 +53,8 @@ class _SparsePoolBase(Module):
         self.dilation = expand_nd(ndim, dilation)
         self.indice_key = indice_key
         self.subm = subm
+        if algo is not None and not isinstance(algo, str):
+            algo = getattr(algo, "value", algo)
         self.algo = algo or "native"
         self.out_bound = out_bound
         self.out_bound_ratio = out_bound_ratio
