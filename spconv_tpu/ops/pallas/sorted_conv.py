@@ -80,13 +80,13 @@ _ALIGN = 8
 _KPITCH = 8    # key-copy shift pitch (keys)
 NSH = 16       # number of shifted key copies (NSH * _KPITCH == 128)
 
-# A (plane, tile) whose match span exceeds MAX_NW windows (activity gaps
-# make rank spans much larger than real match spans) forces the layer-wide
-# rulebook fallback.  Dense 900k-voxel scans measured max nw = 43 with
-# avg 1.5 (ONE gap tile would otherwise condemn the whole layer), so the
-# bound is generous — extra windows sweep double-buffered and only a
-# couple of tiles ever take them.
-MAX_NW = 64
+# A (plane, tile) whose match span exceeds MAX_NW windows forces the
+# layer-wide rulebook fallback.  The window sweep is EXACT for any nw
+# (double-buffered fori loop), so this bound only guards against
+# degenerate plans: real scans measured max nw = 43 (900k-voxel conv)
+# and 131 (900k-voxel pool, one gap tile) with averages near 1 — a
+# layer-wide fallback costs far more than a few long sweeps.
+MAX_NW = 256
 
 
 def subm_key_deltas(
