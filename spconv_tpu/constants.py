@@ -24,7 +24,9 @@ SPCONV_FP32_HIGHEST = os.getenv("SPCONV_TPU_FP32_HIGHEST", "0") == "1"
 SPCONV_OUT_BOUND_RATIO = float(os.getenv("SPCONV_TPU_OUT_BOUND_RATIO", "2.0"))
 
 # algo selection: "native" (gather-einsum) for now; future: "implicit_gemm"
-SPCONV_DEFAULT_ALGO = os.getenv("SPCONV_TPU_ALGO", "native")
+# layer default when algo is not given: "auto" resolves per call via
+# the tuner; set SPCONV_TPU_ALGO=native/sk/block to force one globally
+SPCONV_DEFAULT_ALGO = os.getenv("SPCONV_TPU_ALGO", "auto")
 
 # directory for the tuner's on-disk cache (parity: spconv's tuner cache)
 SPCONV_TUNE_CACHE = os.getenv(

@@ -108,7 +108,9 @@ class SparseConvolution(Module):
         # accepted as a drop-in shim.
         if algo is not None and not isinstance(algo, str):
             algo = getattr(algo, "value", algo)
-        self.algo = algo or "auto"
+        from ..constants import SPCONV_DEFAULT_ALGO
+
+        self.algo = algo or SPCONV_DEFAULT_ALGO
         self.fp32_accum = True if fp32_accum is None else fp32_accum
         self.out_bound = out_bound
         self.out_bound_ratio = out_bound_ratio
