@@ -382,9 +382,7 @@ class SparseConvolution(Module):
     def _sk_reg_supported(self, input: SparseConvTensor) -> bool:
         """Regular (strided) and inverse convs on single-word key grids;
         transposed convs stay on the rulebook path."""
-        import numpy as _np
-
-        if self.subm or self.transposed or self.conv1x1:
+        if self.subm or self.conv1x1:
             return False
         if C.use_pair_keys(input.spatial_shape, input.batch_size):
             return False
@@ -393,9 +391,14 @@ class SparseConvolution(Module):
 
             data = input.indice_dict.get(f"__skreg__{self.indice_key}")
             return isinstance(data, SKRegData)
-        out_shape = C.get_conv_output_size(
-            input.spatial_shape, self.kernel_size, self.stride,
-            self.padding, self.dilation)
+        if self.transposed:
+            out_shape = C.get_deconv_output_size(
+                input.spatial_shape, self.kernel_size, self.stride,
+                self.padding, self.dilation, self.output_padding)
+        else:
+            out_shape = C.get_conv_output_size(
+                input.spatial_shape, self.kernel_size, self.stride,
+                self.padding, self.dilation)
         if any(v <= 0 for v in out_shape):
             return False
         return not C.use_pair_keys(out_shape, input.batch_size)
@@ -426,6 +429,8 @@ class SparseConvolution(Module):
             assert isinstance(data, SK.SKRegData), (
                 f"SparseInverseConv requires a cached sorted-key record "
                 f"under indice_key={self.indice_key!r}")
+            assert not data.transposed, (
+                "inverse conv cannot reuse a transposed-conv record")
             assert data.ksize == self.kernel_size, (
                 f"inverse conv ksize {self.kernel_size} != encoder "
                 f"{data.ksize}")
@@ -462,9 +467,14 @@ class SparseConvolution(Module):
                 benchmark=input.benchmark,
             )
 
-        out_shape = tuple(int(v) for v in C.get_conv_output_size(
-            spatial_shape, self.kernel_size, self.stride, self.padding,
-            self.dilation))
+        if self.transposed:
+            out_shape = tuple(int(v) for v in C.get_deconv_output_size(
+                spatial_shape, self.kernel_size, self.stride,
+                self.padding, self.dilation, self.output_padding))
+        else:
+            out_shape = tuple(int(v) for v in C.get_conv_output_size(
+                spatial_shape, self.kernel_size, self.stride,
+                self.padding, self.dilation))
         rec = input.indice_dict.get(ck) if ck else None
         new_rec = None
         if (
@@ -481,30 +491,55 @@ class SparseConvolution(Module):
             num_out = rec.num_out
             plans = rec.plans
         else:
-            out_bound = self._resolve_out_bound(indices.shape[0])
-            out_indices, out_keys, num_out = build_conv_outputs(
-                indices, spatial_shape=spatial_shape,
-                batch_size=batch_size, ksize=self.kernel_size,
-                stride=self.stride, padding=self.padding,
-                dilation=self.dilation, out_bound=out_bound,
-            )
+            if self.transposed:
+                from ..ops.rulebook import build_deconv_outputs
+
+                out_bound = self._resolve_out_bound(indices.shape[0])
+                out_indices, out_keys, num_out = build_deconv_outputs(
+                    indices, spatial_shape=spatial_shape,
+                    batch_size=batch_size, ksize=self.kernel_size,
+                    stride=self.stride, padding=self.padding,
+                    dilation=self.dilation,
+                    out_padding=self.output_padding,
+                    out_bound=out_bound,
+                )
+            else:
+                out_bound = self._resolve_out_bound(indices.shape[0])
+                out_indices, out_keys, num_out = build_conv_outputs(
+                    indices, spatial_shape=spatial_shape,
+                    batch_size=batch_size, ksize=self.kernel_size,
+                    stride=self.stride, padding=self.padding,
+                    dilation=self.dilation, out_bound=out_bound,
+                )
             in_keys, _ = C.linearize(indices, spatial_shape, batch_size)
             plans = None
 
-        out_feat, plans, _geom = SK.sk_regular_conv(
-            features, in_keys, out_keys, self.weight,
-            in_shape=spatial_shape, out_shape=out_shape,
-            batch_size=batch_size, stride=self.stride,
-            padding=self.padding, dilation=self.dilation,
-            tile=tile, window=window, plans=plans, interpret=interpret,
-        )
+        if self.transposed:
+            # transposed conv == inverse-mode kernel with the spaces
+            # swapped: tiles = the EXPANDED output space, table = input
+            out_feat, plans, _geom = SK.sk_regular_conv(
+                features, out_keys, in_keys, self.weight,
+                in_shape=out_shape, out_shape=spatial_shape,
+                batch_size=batch_size, stride=self.stride,
+                padding=self.padding, dilation=self.dilation,
+                inverse=True, tile=tile, window=window, plans=plans,
+                interpret=interpret,
+            )
+        else:
+            out_feat, plans, _geom = SK.sk_regular_conv(
+                features, in_keys, out_keys, self.weight,
+                in_shape=spatial_shape, out_shape=out_shape,
+                batch_size=batch_size, stride=self.stride,
+                padding=self.padding, dilation=self.dilation,
+                tile=tile, window=window, plans=plans, interpret=interpret,
+            )
         if ck and not isinstance(rec, SK.SKRegData):
             new_rec = SK.SKRegData(
                 in_keys, out_keys, out_indices, num_out, plans,
                 ksize=self.kernel_size, stride=self.stride,
                 padding=self.padding, dilation=self.dilation,
                 in_shape=spatial_shape, out_shape=out_shape, tile=tile,
-                window=window,
+                window=window, transposed=self.transposed,
             )
         out_feat = bias_add_act(
             out_feat, self.bias, self.act_type, self.act_alpha,

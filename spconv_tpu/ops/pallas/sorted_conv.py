@@ -132,81 +132,73 @@ class SKPlan(NamedTuple):
     fallback: jax.Array  # scalar bool — too many windows or unsorted input
 
 
-def _build_sk_plan(
-    keys: jax.Array,  # [Np] int32 sorted, sentinel-padded, Np % tile == 0
-    sentinel,
-    *,
-    deltas: Tuple[int, ...],
-    groups: Tuple[Tuple[int, ...], ...],
-    tile: int,
-    window: int,
-    n_pad: int,
-) -> SKPlan:
-    """Window plan from tile-boundary ranks.
-
-    ``lo[k,t] = #keys < boundary_key[t] + Δ_k`` gives, per (offset, tile),
-    the first possible match row; ``hi = lo[k, t+1]`` bounds the last.
-    Ranks come from ONE sort of [boundary probes ‖ keys] (probes sort
-    before equal table keys) + cumsum — no searchsorted (measured 30×
-    slower than a sort on TPU).  Per group the window covers
-    ``[min lo, max hi)`` of its members.
-    """
-    np_ = keys.shape[0]
-    assert np_ % tile == 0
-    d = jnp.asarray(deltas, jnp.int32)
-    bkeys = keys[::tile]  # [n_tiles]
-    probes = bkeys[None, :] + d[:, None]  # [kv, n_tiles]
-    tile_live = bkeys != sentinel
-    return _plan_from_probes(keys, probes, tile_live, sentinel,
-                             groups=groups, window=window, n_pad=n_pad)
-
-
-def _plan_from_probes(
+def _plan_from_row_probes(
     table_keys: jax.Array,   # [Np] sorted sentinel-padded table
-    probes: jax.Array,       # [kv, n_tiles] boundary probe keys (each row
-                             # monotone in the tile index)
-    tile_live: jax.Array,    # [n_tiles] bool
+    probes_rows: jax.Array,  # [kv, n_tiles*tile] per-ROW probe keys
+    valid_rows: jax.Array,   # [kv, n_tiles*tile] bool
     sentinel,
     *,
+    tile: int,
     groups: Tuple[Tuple[int, ...], ...],
     window: int,
     n_pad: int,
 ) -> SKPlan:
-    """Shared rank machinery: boundary ranks in the table per (offset,
-    tile) → per-group covering windows.  Used by both the conv plan
-    (probes = boundary key + Δ_k) and the pool plan (probes = child keys
-    of output-tile boundary parents)."""
+    """Window plan from EXACT per-row probes: per (offset, tile) the
+    window must cover [rank(min valid probe), rank(max valid probe)].
+
+    Earlier plans derived bounds from tile-boundary probes, which
+    requires the probe map to be lexicographically monotone — false for
+    floor-division (stride) maps whenever an axis collapses (two coords
+    mapping to one let later axes invert the order; measured as silently
+    empty windows).  Ranks of per-tile min/max probes need no
+    monotonicity at all, and are tighter.  Ranks come from ONE sort of
+    [min-probes ‖ max-probes ‖ table] + cumsum — no searchsorted
+    (measured 30× slower than a sort on TPU).
+    """
     np_ = table_keys.shape[0]
-    kv, n_tiles = probes.shape
-    pf = probes.reshape(-1)
-    npb = pf.shape[0]
-    allk = jnp.concatenate([pf, table_keys])
+    kv, npt = probes_rows.shape
+    n_tiles = npt // tile
+    big = jnp.int32(2**31 - 1)
+    pmin = jnp.min(
+        jnp.where(valid_rows, probes_rows, big).reshape(kv, n_tiles, tile),
+        axis=2,
+    )
+    pmax = jnp.max(
+        jnp.where(valid_rows, probes_rows, jnp.int32(-1)).reshape(
+            kv, n_tiles, tile),
+        axis=2,
+    )
+    present_off = jnp.any(valid_rows.reshape(kv, n_tiles, tile), axis=2)
+
+    probes = jnp.concatenate([pmin.reshape(-1), pmax.reshape(-1)])
+    npb = probes.shape[0]
+    allk = jnp.concatenate([probes, table_keys])
     src = jnp.arange(npb + np_, dtype=jnp.int32)
     _, src_s = jax.lax.sort((allk, src), num_keys=1, is_stable=True)
     cnt = jnp.cumsum((src_s >= npb).astype(jnp.int32))
-    # rank at probe positions, restored to probe order
     _, ranks = jax.lax.sort((src_s, cnt), num_keys=1, is_stable=False)
-    lo = ranks[:npb].reshape(kv, n_tiles)
     n_valid = jnp.sum((table_keys != sentinel).astype(jnp.int32))
-    # matches only exist among real keys (positions < n_valid): clamp both
-    # bounds there, else a boundary probe at/past the sentinel counts the
-    # pad keys and trips the overflow check spuriously
-    hi = jnp.concatenate(
-        [lo[:, 1:], jnp.broadcast_to(n_valid, (kv, 1))], axis=1
-    )
-    # +1: a match key exactly equal to the next tile's boundary probe
-    # ranks AT the boundary (probes sort before equal table keys), so the
-    # window must extend one row past it
-    hi = jnp.minimum(hi + 1, n_valid)
-    lo = jnp.minimum(lo, n_valid)
+    half = kv * n_tiles
+    lo = jnp.minimum(ranks[:half].reshape(kv, n_tiles), n_valid)
+    # +1: a table key equal to the max probe ranks AT the boundary
+    # (probes sort before equal table keys)
+    hi = jnp.minimum(ranks[half:npb].reshape(kv, n_tiles) + 1, n_valid)
 
-    glo = jnp.stack(
-        [jnp.min(jnp.stack([lo[k] for k in g]), axis=0) for g in groups]
-    )  # [G, n_tiles]
-    ghi = jnp.stack(
-        [jnp.max(jnp.stack([hi[k] for k in g]), axis=0) for g in groups]
-    )
-    present = (ghi > glo) & tile_live[None, :]
+    glo = jnp.stack([
+        jnp.min(jnp.stack(
+            [jnp.where(present_off[k], lo[k], n_valid) for k in g]),
+            axis=0)
+        for g in groups
+    ])  # [G, n_tiles]
+    ghi = jnp.stack([
+        jnp.max(jnp.stack(
+            [jnp.where(present_off[k], hi[k], 0) for k in g]), axis=0)
+        for g in groups
+    ])
+    present = jnp.stack([
+        jnp.any(jnp.stack([present_off[k] for k in g]), axis=0)
+        for g in groups
+    ]) & (ghi > glo)
     ws = (glo // _ALIGN) * _ALIGN
     ws = jnp.clip(ws, 0, max((n_pad - window) // _ALIGN * _ALIGN, 0))
     # number of windows sweeping [ws, ghi); most tiles need one, tiles at
@@ -221,19 +213,101 @@ def _plan_from_probes(
     )
 
 
+def _row_coords(keys, dims):
+    rem = keys
+    coord = []
+    for v in reversed(dims):
+        coord.append(rem % v)
+        rem = rem // v
+    return coord[::-1], rem
+
+
+def _shift_row_probes(tile_keys, deltas, disp, dims, sentinel):
+    """Per-row subm probes [kv, Np]: key + Δ_k with bounds validity."""
+    coord, _b = _row_coords(tile_keys, dims)
+    live = tile_keys != sentinel
+    kv = len(deltas)
+    probes, valids = [], []
+    for k in range(kv):
+        ok = live
+        for a in range(len(dims)):
+            da = int(disp[k][a])
+            if da != 0:
+                ok = ok & (coord[a] + da >= 0) & (coord[a] + da < dims[a])
+        probes.append(tile_keys + int(deltas[k]))
+        valids.append(ok)
+    return jnp.stack(probes), jnp.stack(valids)
+
+
+def _affine_row_probes(tile_keys, stride, disp, decode_dims, table_dims,
+                       sentinel_tile):
+    """Per-row OUT→IN probes (``in = out·s + off·dil − pad``)."""
+    coord, b = _row_coords(tile_keys, decode_dims)
+    live = tile_keys != sentinel_tile
+    probes, valids = [], []
+    for k in range(disp.shape[0]):
+        ok = live
+        key = b
+        for a in range(len(decode_dims)):
+            ca = coord[a] * int(stride[a]) + int(disp[k][a])
+            ok = ok & (ca >= 0) & (ca < table_dims[a])
+            key = key * table_dims[a] + ca
+        probes.append(key.astype(jnp.int32))
+        valids.append(ok)
+    return jnp.stack(probes), jnp.stack(valids)
+
+
+def _divide_row_probes(tile_keys, stride, disp, decode_dims, table_dims,
+                       sentinel_tile):
+    """Per-row IN→OUT probes with stride divisibility."""
+    coord, b = _row_coords(tile_keys, decode_dims)
+    live = tile_keys != sentinel_tile
+    probes, valids = [], []
+    for k in range(disp.shape[0]):
+        ok = live
+        key = b
+        for a in range(len(decode_dims)):
+            ta = coord[a] - int(disp[k][a])
+            sa = int(stride[a])
+            ca = ta // sa
+            ok = (ok & (ta >= 0) & (ta % sa == 0) & (ca < table_dims[a]))
+            key = key * table_dims[a] + ca
+        probes.append(key.astype(jnp.int32))
+        valids.append(ok)
+    return jnp.stack(probes), jnp.stack(valids)
+
+
 def build_sk_plans(keys, sentinel, deltas_np, groups, *, tile, window,
-                   n_pad):
-    """(fwd, bwd) plans — bwd probes are the reversed (negated) deltas.
-    ``keys``: [Np] sorted sentinel-padded with Np % tile == 0."""
-    fwd = _build_sk_plan(
-        keys, sentinel,
-        deltas=tuple(int(d) for d in deltas_np), groups=groups,
-        tile=tile, window=window, n_pad=n_pad,
+                   n_pad, disp_np=None, ksize=None, dims=None,
+                   dilation=None, spatial_shape=None):
+    """(fwd, bwd) subm plans — bwd probes are the reversed deltas.
+    ``keys``: [Np] sorted sentinel-padded with Np % tile == 0.
+
+    ``dims`` (the spatial shape) and ``disp_np`` enable exact per-row
+    bounds checks; when omitted they are reconstructed from the deltas
+    alone (probes unchecked — still correct, windows marginally wider).
+    """
+    if dims is None and spatial_shape is not None:
+        dims = spatial_shape
+    kv = len(deltas_np)
+    if disp_np is None:
+        disp = np.zeros((kv, 1), np.int32)
+        dims_t = (2**31 - 1,)
+    else:
+        disp = np.asarray(disp_np, np.int32).reshape(kv, -1)
+        dims_t = tuple(int(v) for v in dims)
+    deltas = [int(d) for d in deltas_np]
+
+    pf, vf = _shift_row_probes(keys, deltas, disp, dims_t, sentinel)
+    fwd = _plan_from_row_probes(
+        keys, pf, vf, sentinel, tile=tile, groups=groups, window=window,
+        n_pad=n_pad,
     )
-    bwd = _build_sk_plan(
-        keys, sentinel,
-        deltas=tuple(int(-d) for d in deltas_np), groups=groups,
-        tile=tile, window=window, n_pad=n_pad,
+    pb, vb = _shift_row_probes(keys, [-d for d in deltas], -disp, dims_t,
+                               sentinel)
+    bwd = _plan_from_row_probes(
+        keys, pb, vb, sentinel, tile=tile, groups=groups, window=window,
+        n_pad=n_pad,
     )
     return fwd, bwd
 
@@ -1150,87 +1224,38 @@ def _reg_disp(geom: _SKRegGeom):
     return np.asarray(geom.disp, np.int32).reshape(-1, ndim)
 
 
-def _clamped_affine_probes(bkeys, stride, disp, decode_dims, table_dims):
-    """PLAN-side OUT→IN boundary probes.
-
-    Coordinates are deliberately NOT clipped into range: per-axis
-    clipping collapses distinct coordinates and later axes then invert
-    the lexicographic order (measured: plan windows excluded real
-    matches).  Out-of-range coordinates just form "pseudo-keys" — still
-    strictly monotone, and ranks against the real table remain valid
-    lower/upper bounds."""
-    ndim = len(decode_dims)
-    rem = bkeys
-    coord = []
-    for v in reversed(decode_dims):
-        coord.append(rem % v)
-        rem = rem // v
-    coord = coord[::-1]
-    probes = []
-    for k in range(disp.shape[0]):
-        key = rem
-        for a in range(ndim):
-            ca = coord[a] * int(stride[a]) + int(disp[k][a])
-            key = key * table_dims[a] + ca
-        probes.append(key.astype(jnp.int32))
-    return jnp.stack(probes)
-
-
-def _clamped_divide_probes(bkeys, stride, disp, decode_dims, table_dims):
-    """PLAN-side IN→OUT boundary probes (floor division, unclipped — see
-    :func:`_clamped_affine_probes`)."""
-    ndim = len(decode_dims)
-    rem = bkeys
-    coord = []
-    for v in reversed(decode_dims):
-        coord.append(rem % v)
-        rem = rem // v
-    coord = coord[::-1]
-    probes = []
-    for k in range(disp.shape[0]):
-        key = rem
-        for a in range(ndim):
-            ca = (coord[a] - int(disp[k][a])) // int(stride[a])
-            key = key * table_dims[a] + ca
-        probes.append(key.astype(jnp.int32))
-    return jnp.stack(probes)
-
-
 def build_sk_reg_plans(in_keys, out_keys, geom: _SKRegGeom):
     """(plan_io, plan_oi): windows over the IN table for OUT tiles, and
-    over the OUT table for IN tiles.  The regular conv uses (fwd=io,
+    over the OUT table for IN tiles — built from exact per-row probes
+    (:func:`_plan_from_row_probes`).  The regular conv uses (fwd=io,
     bwd=oi); the inverse conv of the same encoder uses the swap — one
     cache serves both (the reference's rulebook-reuse role,
     ``conv.py:348-363``)."""
     disp = _reg_disp(geom)
     tile, window = geom.tile, geom.window
-    n_in = in_keys.shape[0]
-    n_out = out_keys.shape[0]
-    nt_out = -(-n_out // tile) * tile
-    nt_in = -(-n_in // tile) * tile
-    _, npad_in = _n_pad_for(n_in, tile, window)
-    _, npad_out = _n_pad_for(n_out, tile, window)
-    in_p = _pad_rows(in_keys, max(nt_in, npad_in), geom.sent_in)
-    out_p = _pad_rows(out_keys, max(nt_out, npad_out), geom.sent_out)
+    nt_out = -(-out_keys.shape[0] // tile) * tile
+    nt_in = -(-in_keys.shape[0] // tile) * tile
+    _, npad_in = _n_pad_for(in_keys.shape[0], tile, window)
+    _, npad_out = _n_pad_for(out_keys.shape[0], tile, window)
+    in_p = _pad_rows(in_keys, npad_in, geom.sent_in)
+    out_p = _pad_rows(out_keys, npad_out, geom.sent_out)
 
-    bk_out = out_p[:nt_out][::tile]
-    probes_io = jnp.minimum(
-        _clamped_affine_probes(bk_out, geom.stride, disp, geom.out_dims,
-                               geom.in_dims), geom.sent_in)
-    plan_io = _plan_from_probes(
-        in_p[:npad_in] if npad_in >= nt_in else in_p,
-        probes_io, bk_out != geom.sent_out, geom.sent_in,
-        groups=geom.groups, window=window, n_pad=npad_in,
+    p_io, v_io = _affine_row_probes(
+        out_p[:nt_out], geom.stride, disp, geom.out_dims, geom.in_dims,
+        geom.sent_out,
+    )
+    plan_io = _plan_from_row_probes(
+        in_p, p_io, v_io, geom.sent_in, tile=tile, groups=geom.groups,
+        window=window, n_pad=npad_in,
     )
 
-    bk_in = in_p[:nt_in][::tile]
-    probes_oi = jnp.minimum(
-        _clamped_divide_probes(bk_in, geom.stride, disp, geom.in_dims,
-                               geom.out_dims), geom.sent_out)
-    plan_oi = _plan_from_probes(
-        out_p[:npad_out] if npad_out >= nt_out else out_p,
-        probes_oi, bk_in != geom.sent_in, geom.sent_out,
-        groups=geom.groups, window=window, n_pad=npad_out,
+    p_oi, v_oi = _divide_row_probes(
+        in_p[:nt_in], geom.stride, disp, geom.in_dims, geom.out_dims,
+        geom.sent_in,
+    )
+    plan_oi = _plan_from_row_probes(
+        out_p, p_oi, v_oi, geom.sent_out, tile=tile, groups=geom.groups,
+        window=window, n_pad=npad_out,
     )
     return plan_io, plan_oi
 
@@ -1489,7 +1514,7 @@ class SKRegData:
 
     def __init__(self, in_keys, out_keys, out_indices, num_out, plans, *,
                  ksize, stride, padding, dilation, in_shape, out_shape,
-                 tile, window):
+                 tile, window, transposed=False):
         self.in_keys = in_keys
         self.out_keys = out_keys
         self.out_indices = out_indices
@@ -1503,13 +1528,15 @@ class SKRegData:
         self.out_shape = tuple(out_shape)
         self.tile = int(tile)
         self.window = int(window)
+        self.transposed = bool(transposed)
 
 
 def _skreg_flatten(obj):
     return ((obj.in_keys, obj.out_keys, obj.out_indices, obj.num_out,
              obj.plans),
             (obj.ksize, obj.stride, obj.padding, obj.dilation,
-             obj.in_shape, obj.out_shape, obj.tile, obj.window))
+             obj.in_shape, obj.out_shape, obj.tile, obj.window,
+             obj.transposed))
 
 
 def _skreg_unflatten(aux, children):
@@ -1517,7 +1544,7 @@ def _skreg_unflatten(aux, children):
     (obj.in_keys, obj.out_keys, obj.out_indices, obj.num_out,
      obj.plans) = children
     (obj.ksize, obj.stride, obj.padding, obj.dilation, obj.in_shape,
-     obj.out_shape, obj.tile, obj.window) = aux
+     obj.out_shape, obj.tile, obj.window, obj.transposed) = aux
     return obj
 
 

@@ -31,11 +31,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import sorted_conv as SK
-from .sorted_conv import (_ALIGN, _KPITCH, _LANE, MAX_NW, NSH, SKPlan,
-                          _n_pad_for, _pad_lanes, _pad_rows, _plan_from_probes,
-                          prep_keys_sh)
+from .sorted_conv import (_ALIGN, _KPITCH, _LANE, MAX_NW, SKPlan,
+                          _n_pad_for, _pad_lanes, _pad_rows,
+                          _plan_from_row_probes, prep_keys_sh)
 
-__all__ = ["sk_pool2", "sk_pool2_ad", "build_pool2_sk_plan", "pool2_probe_keys"]
+__all__ = ["sk_pool2", "sk_pool2_ad", "build_pool2_sk_plan", "pool2_row_probes"]
 
 
 def _pool_offsets(ndim: int) -> np.ndarray:
@@ -50,15 +50,8 @@ def _pool_groups(ndim: int) -> Tuple[Tuple[int, ...], ...]:
     return (tuple(range(lead)), tuple(range(lead, 2 * lead)))
 
 
-def pool2_probe_keys(out_keys, out_dims, in_dims):
-    """PLAN-side child keys [kv, M] of each parent boundary key.
-
-    Out-of-range child coordinates (odd input edges) are NOT clamped —
-    per-axis clamping collapses distinct coordinates and later axes can
-    invert the lexicographic order.  The raw affine map is strictly
-    monotone; out-of-range values form pseudo-keys whose table ranks
-    still bound every real match (kernel-side probes use −1 for the
-    out-of-range case and simply match nothing)."""
+def pool2_row_probes(out_keys, out_dims, in_dims, sentinel_out):
+    """Per-row child probes [kv, M] of each parent key + validity."""
     ndim = len(out_dims)
     offs = _pool_offsets(ndim)
     rem = out_keys
@@ -67,28 +60,31 @@ def pool2_probe_keys(out_keys, out_dims, in_dims):
         coord.append(rem % s)
         rem = rem // s
     coord = coord[::-1]
-    b = rem  # batch index
-    probes = []
+    b = rem
+    live = out_keys != sentinel_out
+    probes, valids = [], []
     for off in offs:
+        ok = live
         key = b
         for a in range(ndim):
             ca = coord[a] * 2 + int(off[a])
+            ok = ok & (ca < in_dims[a])
             key = key * in_dims[a] + ca
         probes.append(key.astype(jnp.int32))
-    return jnp.stack(probes)  # [kv, M]
+        valids.append(ok)
+    return jnp.stack(probes), jnp.stack(valids)
 
 
 def build_pool2_sk_plan(
     in_keys_padded, out_keys_padded, sentinel_in, sentinel_out,
     *, out_dims, in_dims, tile, window, n_pad,
 ) -> SKPlan:
-    n_tiles = out_keys_padded.shape[0] // tile
-    bkeys = out_keys_padded[::tile]
-    probes = pool2_probe_keys(bkeys, out_dims, in_dims)
-    probes = jnp.minimum(probes, sentinel_in)
+    nt = out_keys_padded.shape[0] // tile * tile
+    probes, valids = pool2_row_probes(out_keys_padded[:nt], out_dims,
+                                      in_dims, sentinel_out)
     groups = _pool_groups(len(out_dims))
-    return _plan_from_probes(
-        in_keys_padded, probes, bkeys != sentinel_out, sentinel_in,
+    return _plan_from_row_probes(
+        in_keys_padded, probes, valids, sentinel_in, tile=tile,
         groups=groups, window=window, n_pad=n_pad,
     )
 

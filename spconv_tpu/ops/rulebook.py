@@ -510,6 +510,72 @@ def build_conv_outputs(
     return out_indices, out_keys, jnp.minimum(num_out_total, out_bound)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("spatial_shape", "batch_size", "ksize", "stride",
+                     "padding", "dilation", "out_padding", "out_bound"),
+)
+def build_deconv_outputs(
+    indices: jax.Array,
+    *,
+    spatial_shape: Tuple[int, ...],
+    batch_size: int,
+    ksize: Tuple[int, ...],
+    stride: Tuple[int, ...],
+    padding: Tuple[int, ...],
+    dilation: Tuple[int, ...],
+    out_padding: Tuple[int, ...],
+    out_bound: Optional[int] = None,
+):
+    """Output-site discovery for a transposed conv: candidates
+    ``o = i·s + k·d − p`` per offset, sort + dedup (no pair joins — the
+    sorted-key kernel joins in-pass via the divide probe map).
+    Returns ``(out_indices, out_keys sorted sentinel-padded, num_out)``.
+    """
+    ksize = tuple(int(k) for k in ksize)
+    n = indices.shape[0]
+    ndim = indices.shape[1] - 1
+    out_shape = C.get_deconv_output_size(
+        spatial_shape, ksize, stride, padding, dilation, out_padding
+    )
+    if out_bound is None:
+        out_bound = n * int(np.prod([int(v) for v in stride]))
+    in_valid = indices[:, 0] >= 0
+    b = indices[:, 0].astype(jnp.int32)
+    vol_out = 1
+    for v in out_shape:
+        vol_out *= int(v)
+    sentinel = vol_out * int(batch_size)
+    assert sentinel < 2**31, "use_pair_keys grids not supported here"
+
+    import itertools as _it
+
+    cand_keys = []
+    for js in _it.product(*[range(k) for k in ksize]):
+        ok = in_valid
+        key = b
+        for a in range(ndim):
+            o = (indices[:, a + 1].astype(jnp.int32) * int(stride[a])
+                 + int(js[a]) * int(dilation[a]) - int(padding[a]))
+            ok = ok & (o >= 0) & (o < int(out_shape[a]))
+            key = key * int(out_shape[a]) + o
+        cand_keys.append(jnp.where(ok, key, jnp.int32(sentinel)))
+    ck = jnp.concatenate(cand_keys)
+
+    sk = jnp.sort(ck)
+    not_sent = sk != sentinel
+    is_first = jnp.concatenate([not_sent[:1], C.adj_differ(sk) & not_sent[1:]])
+    uniq_pos = jnp.cumsum(is_first.astype(jnp.int32)) - 1
+    num_out_total = jnp.sum(is_first.astype(jnp.int32))
+    uniq_scatter = jnp.where(is_first & (uniq_pos < out_bound), uniq_pos,
+                             out_bound)
+    out_keys = C.full_sentinel(out_bound, sentinel).astype(sk.dtype)
+    out_keys = out_keys.at[uniq_scatter].set(sk, mode="drop")
+    out_valid = out_keys != sentinel
+    out_indices = C.delinearize(out_keys, out_shape, out_valid)
+    return out_indices, out_keys, jnp.minimum(num_out_total, out_bound)
+
+
 def get_indice_pairs(
     indices: jax.Array,
     batch_size: int,

@@ -360,3 +360,75 @@ def test_sk_regular_conv_vs_rulebook(rng, ksize, stride, padding):
     inv_out = jnp.where((inds[:, 0] >= 0)[:, None], inv_out, 0)
     np.testing.assert_allclose(np.asarray(inv_out), np.asarray(ref_inv),
                                rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("ksize,stride,padding",
+                         [((2, 2, 2), (2, 2, 2), (0, 0, 0)),
+                          ((3, 3, 3), (2, 2, 2), (1, 1, 1))])
+def test_sk_transposed_conv_vs_rulebook(rng, ksize, stride, padding):
+    """Transposed conv through the sorted-key machinery: the inverse-mode
+    kernel with swapped space naming (table=input, tiles=expanded
+    output)."""
+    from spconv_tpu.ops.gather_gemm import indice_conv
+    from spconv_tpu.ops.pallas.sorted_conv import sk_regular_conv
+    from spconv_tpu.ops.rulebook import (build_conv_rulebook,
+                                         build_deconv_outputs)
+    from spconv_tpu.ops import coords as CC
+
+    shape = (7, 8, 9)
+    c, k_out = 8, 16
+    feats, inds = _sorted_input(rng, shape, 150, c, 256)
+    in_keys, _ = _keys_of(inds, shape, 1)
+    w = jnp.asarray(rng.randn(k_out, *ksize, c).astype(np.float32) * 0.1)
+    dil = (1, 1, 1)
+    opad = (0, 0, 0)
+
+    out_indices, out_keys, num_out = build_deconv_outputs(
+        inds, spatial_shape=shape, batch_size=1, ksize=ksize,
+        stride=stride, padding=padding, dilation=dil, out_padding=opad,
+        out_bound=2048)
+    out_shape = tuple(int(v) for v in CC.get_deconv_output_size(
+        shape, ksize, stride, padding, dil, opad))
+
+    # inverse-mode space swap: "in" space := expanded output (tiles),
+    # "out" space := the conv's input (gather table)
+    out, plans, geom = sk_regular_conv(
+        feats, out_keys, in_keys, w, in_shape=out_shape, out_shape=shape,
+        batch_size=1, stride=stride, padding=padding, dilation=dil,
+        inverse=True, interpret=True)
+
+    data = build_conv_rulebook(
+        inds, spatial_shape=shape, batch_size=1, ksize=ksize,
+        stride=stride, padding=padding, dilation=dil, transposed=True,
+        out_bound=2048)
+    np.testing.assert_array_equal(np.asarray(out_indices),
+                                  np.asarray(data.out_indices))
+    ref = indice_conv(feats, w, data.pair_fwd, data.pair_bwd,
+                      is_subm=False)
+    valid = (np.asarray(out_indices)[:, 0] >= 0)
+    np.testing.assert_allclose(np.asarray(out)[valid],
+                               np.asarray(ref)[valid], rtol=1e-3,
+                               atol=1e-3)
+
+
+def test_sk_transposed_module_path(rng):
+    """SparseConvTranspose3d(algo='sk') matches the native module path."""
+    import spconv_tpu
+
+    shape = (7, 8, 9)
+    c = 8
+    feats, inds = _sorted_input(rng, shape, 150, c, 256)
+    x = spconv_tpu.SparseConvTensor(feats, inds, shape, 1)
+    kw = dict(bias=True, key=jax.random.PRNGKey(5), out_bound=2048)
+    t_sk = spconv_tpu.SparseConvTranspose3d(c, 12, 2, stride=2,
+                                            algo="sk", **kw)
+    t_nat = spconv_tpu.SparseConvTranspose3d(c, 12, 2, stride=2,
+                                             algo="native", **kw)
+    t_nat.weight, t_nat.bias = t_sk.weight, t_sk.bias
+    y1 = t_sk(x)
+    y2 = t_nat(x)
+    np.testing.assert_array_equal(np.asarray(y1.indices),
+                                  np.asarray(y2.indices))
+    np.testing.assert_allclose(np.asarray(y1.features),
+                               np.asarray(y2.features), rtol=1e-3,
+                               atol=1e-3)
