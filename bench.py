@@ -303,14 +303,24 @@ def main():
     floor_ms = _sync_floor(jax)
     print(f"sync floor {floor_ms:.1f} ms", file=sys.stderr, flush=True)
 
+    # one failing section must not blank the whole artifact
+    def _section(name, fn):
+        try:
+            fn()
+        except Exception as e:  # noqa: BLE001
+            print(f"[{name}] FAILED: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
+
     if only in (None, "basic"):
-        run_bench_net(False, algo, do_bwd, floor_ms)
+        _section("basic",
+                 lambda: run_bench_net(False, algo, do_bwd, floor_ms))
     if only in (None, "large"):
-        run_bench_net(True, algo, do_bwd, floor_ms)
+        _section("large",
+                 lambda: run_bench_net(True, algo, do_bwd, floor_ms))
     if only in (None, "cp"):
-        run_centerpoint(algo, floor_ms)
+        _section("cp", lambda: run_centerpoint(algo, floor_ms))
     if only in (None, "int8"):
-        run_int8(floor_ms)
+        _section("int8", lambda: run_int8(floor_ms))
 
 
 if __name__ == "__main__":

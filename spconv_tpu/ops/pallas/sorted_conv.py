@@ -132,44 +132,16 @@ class SKPlan(NamedTuple):
     fallback: jax.Array  # scalar bool — too many windows or unsorted input
 
 
-def _plan_from_row_probes(
-    table_keys: jax.Array,   # [Np] sorted sentinel-padded table
-    probes_rows: jax.Array,  # [kv, n_tiles*tile] per-ROW probe keys
-    valid_rows: jax.Array,   # [kv, n_tiles*tile] bool
-    sentinel,
-    *,
-    tile: int,
-    groups: Tuple[Tuple[int, ...], ...],
-    window: int,
-    n_pad: int,
-) -> SKPlan:
-    """Window plan from EXACT per-row probes: per (offset, tile) the
-    window must cover [rank(min valid probe), rank(max valid probe)].
-
-    Earlier plans derived bounds from tile-boundary probes, which
-    requires the probe map to be lexicographically monotone — false for
-    floor-division (stride) maps whenever an axis collapses (two coords
-    mapping to one let later axes invert the order; measured as silently
-    empty windows).  Ranks of per-tile min/max probes need no
-    monotonicity at all, and are tighter.  Ranks come from ONE sort of
-    [min-probes ‖ max-probes ‖ table] + cumsum — no searchsorted
-    (measured 30× slower than a sort on TPU).
-    """
+def _plan_from_tile_bounds(
+    table_keys, pmin, pmax, present_off, sentinel,
+    *, groups, window, n_pad,
+):
+    """Window plan from per-(offset, tile) probe bounds (see
+    :func:`_plan_from_row_probes`, which derives them from per-row
+    probes; shift-probe callers compute them exactly as
+    ``tile_min_key + Δ_k`` without materializing [kv, N])."""
     np_ = table_keys.shape[0]
-    kv, npt = probes_rows.shape
-    n_tiles = npt // tile
-    big = jnp.int32(2**31 - 1)
-    pmin = jnp.min(
-        jnp.where(valid_rows, probes_rows, big).reshape(kv, n_tiles, tile),
-        axis=2,
-    )
-    pmax = jnp.max(
-        jnp.where(valid_rows, probes_rows, jnp.int32(-1)).reshape(
-            kv, n_tiles, tile),
-        axis=2,
-    )
-    present_off = jnp.any(valid_rows.reshape(kv, n_tiles, tile), axis=2)
-
+    kv, n_tiles = pmin.shape
     probes = jnp.concatenate([pmin.reshape(-1), pmax.reshape(-1)])
     npb = probes.shape[0]
     allk = jnp.concatenate([probes, table_keys])
@@ -201,8 +173,6 @@ def _plan_from_row_probes(
     ]) & (ghi > glo)
     ws = (glo // _ALIGN) * _ALIGN
     ws = jnp.clip(ws, 0, max((n_pad - window) // _ALIGN * _ALIGN, 0))
-    # number of windows sweeping [ws, ghi); most tiles need one, tiles at
-    # activity gaps a few — the kernel loops, so any span stays exact
     nw = jnp.where(present, -(-(ghi - ws) // window), 0)
     overflow = jnp.any(nw > MAX_NW)
     unsorted = jnp.any(table_keys[1:] < table_keys[:-1])
@@ -210,6 +180,46 @@ def _plan_from_row_probes(
         ws=ws.astype(jnp.int32),
         nw=nw.astype(jnp.int32),
         fallback=overflow | unsorted,
+    )
+
+
+def _plan_from_row_probes(
+    table_keys: jax.Array,   # [Np] sorted sentinel-padded table
+    probes_rows: jax.Array,  # [kv, n_tiles*tile] per-ROW probe keys
+    valid_rows: jax.Array,   # [kv, n_tiles*tile] bool
+    sentinel,
+    *,
+    tile: int,
+    groups: Tuple[Tuple[int, ...], ...],
+    window: int,
+    n_pad: int,
+) -> SKPlan:
+    """Window plan from EXACT per-row probes: per (offset, tile) the
+    window must cover [rank(min valid probe), rank(max valid probe)].
+
+    Boundary-derived plans require the probe map to be lexicographically
+    monotone — false for floor-division (stride) maps whenever an axis
+    collapses (two coords mapping to one let later axes invert the
+    order; measured as silently empty windows).  Ranks of per-tile
+    min/max probes need no monotonicity at all, and are tighter.  Ranks
+    come from ONE sort of [min ‖ max probes ‖ table] + cumsum — no
+    searchsorted (measured 30× slower than a sort on TPU)."""
+    kv, npt = probes_rows.shape
+    n_tiles = npt // tile
+    big = jnp.int32(2**31 - 1)
+    pmin = jnp.min(
+        jnp.where(valid_rows, probes_rows, big).reshape(kv, n_tiles, tile),
+        axis=2,
+    )
+    pmax = jnp.max(
+        jnp.where(valid_rows, probes_rows, jnp.int32(-1)).reshape(
+            kv, n_tiles, tile),
+        axis=2,
+    )
+    present_off = jnp.any(valid_rows.reshape(kv, n_tiles, tile), axis=2)
+    return _plan_from_tile_bounds(
+        table_keys, pmin, pmax, present_off, sentinel, groups=groups,
+        window=window, n_pad=n_pad,
     )
 
 
@@ -278,37 +288,40 @@ def _divide_row_probes(tile_keys, stride, disp, decode_dims, table_dims,
 
 
 def build_sk_plans(keys, sentinel, deltas_np, groups, *, tile, window,
-                   n_pad, disp_np=None, ksize=None, dims=None,
-                   dilation=None, spatial_shape=None):
-    """(fwd, bwd) subm plans — bwd probes are the reversed deltas.
-    ``keys``: [Np] sorted sentinel-padded with Np % tile == 0.
+                   n_pad, disp_np=None, dims=None):
+    """(fwd, bwd) subm plans — bwd probes are the reversed (negated)
+    deltas.  ``keys``: [Np] sorted sentinel-padded with Np % tile == 0.
 
-    ``dims`` (the spatial shape) and ``disp_np`` enable exact per-row
-    bounds checks; when omitted they are reconstructed from the deltas
-    alone (probes unchecked — still correct, windows marginally wider).
-    """
-    if dims is None and spatial_shape is not None:
-        dims = spatial_shape
+    Shift probes are exact constant adds, so per-tile probe bounds are
+    ``tile_min/max_live_key + Δ_k`` — O(N + kv·n_tiles), nothing of
+    shape [kv, N] is materialized — and both plans share ONE rank sort
+    (2·kv stacked offsets)."""
     kv = len(deltas_np)
-    if disp_np is None:
-        disp = np.zeros((kv, 1), np.int32)
-        dims_t = (2**31 - 1,)
-    else:
-        disp = np.asarray(disp_np, np.int32).reshape(kv, -1)
-        dims_t = tuple(int(v) for v in dims)
-    deltas = [int(d) for d in deltas_np]
+    npt = keys.shape[0]
+    n_tiles = npt // tile
+    live = keys != sentinel
+    big = jnp.int32(2**31 - 1)
+    kt = keys.reshape(n_tiles, tile)
+    lv = live.reshape(n_tiles, tile)
+    tmin = jnp.min(jnp.where(lv, kt, big), axis=1)     # [n_tiles]
+    tmax = jnp.max(jnp.where(lv, kt, jnp.int32(-1)), axis=1)
+    tlive = jnp.any(lv, axis=1)
 
-    pf, vf = _shift_row_probes(keys, deltas, disp, dims_t, sentinel)
-    fwd = _plan_from_row_probes(
-        keys, pf, vf, sentinel, tile=tile, groups=groups, window=window,
-        n_pad=n_pad,
+    d = jnp.asarray([int(v) for v in deltas_np], jnp.int32)
+    d2 = jnp.concatenate([d, -d])                      # fwd ‖ bwd
+    pmin = tmin[None, :] + d2[:, None]
+    pmax = tmax[None, :] + d2[:, None]
+    present = jnp.broadcast_to(tlive[None, :], (2 * kv, n_tiles))
+    groups2 = tuple(groups) + tuple(
+        tuple(k + kv for k in g) for g in groups
     )
-    pb, vb = _shift_row_probes(keys, [-d for d in deltas], -disp, dims_t,
-                               sentinel)
-    bwd = _plan_from_row_probes(
-        keys, pb, vb, sentinel, tile=tile, groups=groups, window=window,
-        n_pad=n_pad,
+    plan2 = _plan_from_tile_bounds(
+        keys, pmin, pmax, present, sentinel, groups=groups2,
+        window=window, n_pad=n_pad,
     )
+    g = len(groups)
+    fwd = SKPlan(ws=plan2.ws[:g], nw=plan2.nw[:g], fallback=plan2.fallback)
+    bwd = SKPlan(ws=plan2.ws[g:], nw=plan2.nw[g:], fallback=plan2.fallback)
     return fwd, bwd
 
 
