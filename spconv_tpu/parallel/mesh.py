@@ -26,6 +26,7 @@ __all__ = [
     "stack_sparse_batch",
     "data_parallel_call",
     "data_parallel_value_and_grad",
+    "channel_parallel_conv",
 ]
 
 
@@ -112,3 +113,50 @@ def data_parallel_value_and_grad(
         )(dyn, feats, inds)
 
     return step
+
+def channel_parallel_conv(
+    conv,
+    mesh: Mesh,
+    axis: str = "tp",
+):
+    """Column-parallel sparse conv: OUTPUT channels sharded across the
+    mesh axis, activations replicated, shards all-gathered along the
+    channel dim (the Megatron column-parallel pattern mapped onto
+    KRSC conv weights; the reference has no TP at all — SURVEY §2.5).
+
+    Returns ``fn(weight, bias, feats, inds, spatial, batch) ->
+    (features [N, K], indices)``; pass the layer's full weight/bias —
+    shard_map splits them on the K axis.  Works with every algo
+    (the sorted-key kernel runs per shard with K/n_dev channels).
+    """
+    import copy
+
+    ndev = mesh.shape[axis]
+    assert conv.out_channels % ndev == 0, (
+        f"out_channels {conv.out_channels} not divisible by mesh axis "
+        f"{axis}={ndev}")
+    shard_map = jax.shard_map
+
+    def fn(weight, bias, feats, inds, spatial, batch):
+        def shard_fn(w_s, b_s, feats_r, inds_r):
+            m = copy.copy(conv)
+            m.weight = w_s
+            m.bias = b_s if bias is not None else None
+            m.out_channels = conv.out_channels // ndev
+            x = SparseConvTensor(feats_r, inds_r, spatial, batch)
+            out = m(x)
+            of = jax.lax.all_gather(out.features, axis, axis=1,
+                                    tiled=True)
+            return of, out.indices
+
+        b_arg = bias if bias is not None else jnp.zeros(
+            (conv.out_channels,), weight.dtype)
+        return shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )(weight, b_arg, feats, inds)
+
+    return fn

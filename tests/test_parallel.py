@@ -86,3 +86,36 @@ def test_sync_bn_matches_global_stats():
     got = np.concatenate([out[s][np.asarray(scans[s].valid_mask)]
                           for s in range(4)])
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_channel_parallel_conv_matches_single_device(rng):
+    """Column-parallel conv (K sharded over 8 virtual devices) equals the
+    single-device layer."""
+    import spconv_tpu
+    from spconv_tpu.parallel import channel_parallel_conv, make_mesh
+    from utils import generate_sparse_data
+
+    shape = (9, 10, 11)
+    c, k_out = 8, 16
+    feats, inds = generate_sparse_data(shape, 200, c, batch_size=1,
+                                       rng=rng)
+    fb = np.zeros((256, c), np.float32)
+    ib = np.full((256, 4), -1, np.int32)
+    fb[: len(inds)] = feats
+    ib[: len(inds)] = inds
+    feats, inds = jnp.asarray(fb), jnp.asarray(ib)
+
+    conv = spconv_tpu.SubMConv3d(c, k_out, 3, indice_key="t0",
+                                 key=jax.random.PRNGKey(3))
+    mesh = make_mesh(8, axis="tp")
+    fn = channel_parallel_conv(conv, mesh, axis="tp")
+    of, oi = jax.jit(
+        lambda w, b, f, i: fn(w, b, f, i, shape, 1)
+    )(conv.weight, conv.bias, feats, inds)
+
+    x = spconv_tpu.SparseConvTensor(feats, inds, shape, 1)
+    ref = conv(x)
+    np.testing.assert_allclose(np.asarray(of),
+                               np.asarray(ref.features), rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(oi), np.asarray(ref.indices))
