@@ -114,7 +114,8 @@ def run_bench_net(large, algo, do_bwd, floor_ms):
         def body(i, c):
             f = feats * (1.0 + 0.0 * c).astype(feats.dtype)
             ii = inds + jnp.isnan(c).astype(inds.dtype)
-            t = spconv_tpu.SparseConvTensor(f, ii, spatial_shape, 1)
+            t = spconv_tpu.SparseConvTensor(f, ii, spatial_shape, 1,
+                                            keys_sorted=True)
             out = m(t)
             return jnp.sum(out.features.astype(jnp.float32))
 
@@ -146,7 +147,7 @@ def run_bench_net(large, algo, do_bwd, floor_ms):
 
                 def loss(m_, f):
                     t = spconv_tpu.SparseConvTensor(
-                        f, ii, spatial_shape, 1)
+                        f, ii, spatial_shape, 1, keys_sorted=True)
                     return jnp.sum(m_(t).features.astype(jnp.float32) ** 2)
 
                 f = feats * (1.0 + 0.0 * c).astype(feats.dtype)
@@ -195,7 +196,8 @@ def run_centerpoint(algo, floor_ms):
         def body(i, c):
             f = feats * (1.0 + 0.0 * c).astype(feats.dtype)
             ii = inds + jnp.isnan(c).astype(inds.dtype)
-            t = spconv_tpu.SparseConvTensor(f, ii, shape, 1)
+            t = spconv_tpu.SparseConvTensor(f, ii, shape, 1,
+                                            keys_sorted=True)
             return jnp.sum(m.bev(t).astype(jnp.float32))
 
         return jax.lax.fori_loop(0, REP, body, jnp.float32(0))

@@ -139,7 +139,8 @@ def make_bench_input(voxels, coors, spatial_shape, dtype=jnp.float32,
     inds = np.full((nbuf, 4), -1, np.int32)
     inds[:n] = coors
     return SparseConvTensor(
-        jnp.asarray(feats, dtype=dtype), jnp.asarray(inds), spatial_shape, 1
+        jnp.asarray(feats, dtype=dtype), jnp.asarray(inds), spatial_shape, 1,
+        keys_sorted=True,
     )
 
 

@@ -42,8 +42,10 @@ def load_centerpoint_input(dtype=jnp.bfloat16, bucket=1024):
     ip[:nv, 0] = 0
     ip[:nv, 1:] = coords
     shape = tuple(gen.grid_size)
+    # PointToVoxel assigns voxel ids in linearized-key order, so rows are
+    # key-sorted with the invalid tail at the end
     return SparseConvTensor(jnp.asarray(fp, dtype=dtype), jnp.asarray(ip),
-                            shape, 1), nv
+                            shape, 1, keys_sorted=True), nv
 
 
 def build_calibrated_encoder(x: SparseConvTensor, dtype=jnp.bfloat16,

@@ -111,6 +111,7 @@ class IndiceData(_PytreeRecord):
         "padding",
         "dilation",
         "transposed",
+        "in_sorted",
     )
 
     def __init__(
@@ -130,6 +131,7 @@ class IndiceData(_PytreeRecord):
         padding: Tuple[int, ...],
         dilation: Tuple[int, ...],
         transposed: bool = False,
+        in_sorted: bool = False,
     ):
         self.pair_fwd = pair_fwd
         self.pair_bwd = pair_bwd
@@ -147,6 +149,10 @@ class IndiceData(_PytreeRecord):
         self.padding = tuple(padding)
         self.dilation = tuple(dilation)
         self.transposed = transposed
+        # STATIC: whether the layer's INPUT rows were key-sorted — the
+        # inverse conv's outputs live on those rows, so its output
+        # tensor inherits this flag
+        self.in_sorted = bool(in_sorted)
 
 
 # alias kept for API parity with the reference, which distinguishes the two
@@ -167,6 +173,7 @@ class SparseConvTensor:
         num_voxels: Optional[jax.Array] = None,
         indice_dict: Optional[Dict[str, IndiceData]] = None,
         benchmark: bool = False,
+        keys_sorted: bool = False,
     ):
         assert features.ndim == 2, "features must be [N, C]"
         assert indices.ndim == 2, "indices must be [N, ndim+1]"
@@ -184,6 +191,16 @@ class SparseConvTensor:
         )
         self.benchmark = benchmark
         self.benchmark_record: Dict[str, Any] = {}
+        # STATIC claim that rows are ordered by linearized coordinate key
+        # (batch-major, row-major spatial; invalid rows at the tail).
+        # Every builder in this framework (PointToVoxel, from_dense,
+        # rulebook output discovery, sparse_add, sort_by_key) produces
+        # this order and sets the flag; the fused sorted-key kernels
+        # require it and are selected statically on it — no runtime
+        # sortedness check / lax.cond fallback branch is compiled when it
+        # is set.  Hand-built tensors default to False and take the
+        # always-correct native path (or call :meth:`sort_by_key`).
+        self.keys_sorted = bool(keys_sorted)
 
     # ------------------------------------------------------------------
     @property
@@ -247,7 +264,11 @@ class SparseConvTensor:
         coords = jnp.where(found[:, None], coords, -1).astype(jnp.int32)
         feats = x.reshape(-1, x.shape[-1])[order]
         feats = jnp.where(found[:, None], feats, 0)
-        return cls(feats, coords, spatial, batch, num_voxels=jnp.sum(found.astype(jnp.int32)))
+        # row-major flat order over (batch, *spatial) == linearized-key
+        # order, and invalid rows sort to the tail
+        return cls(feats, coords, spatial, batch,
+                   num_voxels=jnp.sum(found.astype(jnp.int32)),
+                   keys_sorted=True)
 
     def select_by_index(self, valid_indices: jax.Array) -> "SparseConvTensor":
         """Gather a subset of rows (parity: ``core.py:select_by_index``)."""
@@ -274,6 +295,7 @@ class SparseConvTensor:
         return SparseConvTensor(
             feats, inds, self.spatial_shape, self.batch_size,
             num_voxels=self.num_voxels, benchmark=self.benchmark,
+            keys_sorted=True,
         )
 
     def shadow_copy(self) -> "SparseConvTensor":
@@ -286,6 +308,7 @@ class SparseConvTensor:
         new.indice_dict = dict(self.indice_dict)
         new.benchmark = self.benchmark
         new.benchmark_record = dict(self.benchmark_record)
+        new.keys_sorted = self.keys_sorted
         return new
 
     def __repr__(self):
@@ -300,12 +323,13 @@ def _sct_flatten(t: SparseConvTensor):
     children = (t.features, t.indices, t.num_voxels) + tuple(
         t.indice_dict[k] for k in keys
     )
-    aux = (t.spatial_shape, t.batch_size, keys, t.benchmark)
+    aux = (t.spatial_shape, t.batch_size, keys, t.benchmark,
+           getattr(t, "keys_sorted", False))
     return children, aux
 
 
 def _sct_unflatten(aux, children):
-    spatial_shape, batch_size, keys, benchmark = aux
+    spatial_shape, batch_size, keys, benchmark, keys_sorted = aux
     t = object.__new__(SparseConvTensor)
     t.features, t.indices, t.num_voxels = children[:3]
     t.indice_dict = dict(zip(keys, children[3:]))
@@ -313,6 +337,7 @@ def _sct_unflatten(aux, children):
     t.batch_size = batch_size
     t.benchmark = benchmark
     t.benchmark_record = {}
+    t.keys_sorted = keys_sorted
     return t
 
 

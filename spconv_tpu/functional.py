@@ -75,6 +75,9 @@ def sparse_add(
         first.batch_size,
         num_voxels=num_out,
         benchmark=first.benchmark,
+        # union rows are written at ascending unique-key positions with
+        # invalid rows at the tail
+        keys_sorted=True,
     )
 
 

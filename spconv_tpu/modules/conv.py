@@ -192,10 +192,15 @@ class SparseConvolution(Module):
             from ..tuner import CONV_TUNER
 
             kv = int(np.prod(self.kernel_size))
+            # auto only picks the sorted-key kernel when sortedness is
+            # STATICALLY known (keys_sorted) — then no lax.cond fallback
+            # branch is compiled.  Explicit algo="sk" on an unflagged
+            # tensor still works through the dynamic fallback.
             algo = CONV_TUNER.select_algo(
                 subm=self.subm,
-                sk_supported=(self._sk_supported(input)
-                              or self._sk_reg_supported(input)),
+                sk_supported=(
+                    (self._sk_supported(input) and input.keys_sorted)
+                    or self._sk_reg_supported(input)),
                 n=int(indices.shape[0]), c=self.in_channels,
                 k=self.out_channels, kv=kv, dtype=str(features.dtype),
             )
@@ -220,6 +225,36 @@ class SparseConvolution(Module):
 
         if self.inverse:
             data = input.find_indice_pair(self.indice_key)
+            if data is None:
+                # The encoder may have run on the sorted-key path, which
+                # stores an SKRegData record instead of an IndiceData
+                # rulebook.  Rebuild the encoder's rulebook from the
+                # cached encoder-input indices so an explicitly-native
+                # (or f32 / tuned-native) inverse still works (ADVICE r2
+                # medium: this previously hit the assert below even
+                # though the encoder ran).
+                from ..ops.pallas.sorted_conv import SKRegData
+
+                skrec = input.indice_dict.get(f"__skreg__{self.indice_key}")
+                enc_in = input.indice_dict.get(
+                    f"__skreg_in__{self.indice_key}")
+                if isinstance(skrec, SKRegData) and enc_in is not None:
+                    data = build_conv_rulebook(
+                        enc_in,
+                        spatial_shape=skrec.in_shape,
+                        batch_size=batch_size,
+                        ksize=skrec.ksize,
+                        stride=skrec.stride,
+                        padding=skrec.padding,
+                        dilation=skrec.dilation,
+                        out_padding=skrec.output_padding,
+                        transposed=skrec.transposed,
+                        out_bound=skrec.out_keys.shape[0],
+                    )
+                    # the encoder ran the sorted-key path, which requires
+                    # key-sorted input rows — so this inverse's outputs
+                    # (= those rows) are sorted
+                    data.in_sorted = True
             assert data is not None, (
                 f"SparseInverseConv requires a cached rulebook under "
                 f"indice_key={self.indice_key!r}"
@@ -321,6 +356,10 @@ class SparseConvolution(Module):
                     transposed=self.transposed,
                     out_bound=self._resolve_out_bound(indices.shape[0]),
                 )
+                # a paired inverse conv outputs THESE input rows — record
+                # whether they are key-sorted so its output tensor can
+                # carry the static flag
+                data.in_sorted = bool(input.keys_sorted)
                 new_data = data
             pair_fwd, pair_bwd = data.pair_fwd, data.pair_bwd
             out_indices = data.out_indices
@@ -348,13 +387,18 @@ class SparseConvolution(Module):
 
         if is_subm:
             out_num_voxels = input.num_voxels
+            out_sorted = input.keys_sorted
         elif self.inverse:
             # the inverse conv outputs the encoder's INPUT sites, so the
             # count is num_in, not num_out (ADVICE r1: num_out here was the
             # inverse conv's own input count)
             out_num_voxels = data.num_in
+            out_sorted = bool(getattr(data, "in_sorted", False))
         else:
             out_num_voxels = data.num_out
+            # rulebook output discovery emits sites in ascending key order
+            # with invalid rows at the tail (ops/rulebook.py:261)
+            out_sorted = True
         out = SparseConvTensor(
             out_feat,
             out_indices,
@@ -363,6 +407,7 @@ class SparseConvolution(Module):
             num_voxels=out_num_voxels,
             indice_dict=dict(input.indice_dict),
             benchmark=input.benchmark,
+            keys_sorted=out_sorted,
         )
         if new_data is not None and self.indice_key is not None:
             out.indice_dict[self.indice_key] = new_data
@@ -381,8 +426,15 @@ class SparseConvolution(Module):
 
     def _sk_reg_supported(self, input: SparseConvTensor) -> bool:
         """Regular (strided) and inverse convs on single-word key grids;
-        transposed convs stay on the rulebook path."""
+        transposed convs stay on the rulebook path.
+
+        Requires ``input.keys_sorted``: the regular-conv kernels have no
+        dynamic fallback branch, so an unflagged (possibly unsorted)
+        tensor must take the always-correct rulebook path (ADVICE r2
+        high: unsorted inputs previously got silently wrong features)."""
         if self.subm or self.conv1x1:
+            return False
+        if not input.keys_sorted:
             return False
         if C.use_pair_keys(input.spatial_shape, input.batch_size):
             return False
@@ -465,6 +517,8 @@ class SparseConvolution(Module):
                 num_voxels=jnp.sum(valid.astype(jnp.int32)),
                 indice_dict=dict(input.indice_dict),
                 benchmark=input.benchmark,
+                # the encoder's SK run required key-sorted input rows
+                keys_sorted=True,
             )
 
         if self.transposed:
@@ -484,6 +538,11 @@ class SparseConvolution(Module):
             and rec.padding == self.padding
             and rec.dilation == self.dilation
             and rec.in_shape == spatial_shape
+            # regular vs transposed records are NOT interchangeable even
+            # with identical hyperparameters (ADVICE r2 low)
+            and rec.transposed == self.transposed
+            and rec.out_shape == out_shape
+            and rec.output_padding == self.output_padding
         ):
             in_keys = rec.in_keys
             out_keys = rec.out_keys
@@ -540,6 +599,7 @@ class SparseConvolution(Module):
                 padding=self.padding, dilation=self.dilation,
                 in_shape=spatial_shape, out_shape=out_shape, tile=tile,
                 window=window, transposed=self.transposed,
+                output_padding=self.output_padding,
             )
         out_feat = bias_add_act(
             out_feat, self.bias, self.act_type, self.act_alpha,
@@ -559,6 +619,9 @@ class SparseConvolution(Module):
             num_voxels=num_out,
             indice_dict=dict(input.indice_dict),
             benchmark=input.benchmark,
+            # build_conv_outputs / build_deconv_outputs emit ascending
+            # unique keys with invalid rows at the tail
+            keys_sorted=True,
         )
         if new_rec is not None:
             out.indice_dict[ck] = new_rec
@@ -618,6 +681,9 @@ class SparseConvolution(Module):
             spatial_shape=spatial_shape, batch_size=batch_size,
             dilation=self.dilation, tile=tile, window=window,
             plans=plans, interpret=interpret,
+            # statically-known-sorted input → no lax.cond, no dead
+            # rulebook fallback branch compiled
+            fallback=not input.keys_sorted,
         )
         out_feat = bias_add_act(
             out_feat, self.bias, self.act_type, self.act_alpha,
@@ -633,6 +699,7 @@ class SparseConvolution(Module):
             num_voxels=input.num_voxels,
             indice_dict=dict(input.indice_dict),
             benchmark=input.benchmark,
+            keys_sorted=input.keys_sorted,
         )
         if new_rec is not None:
             out.indice_dict[ck] = new_rec

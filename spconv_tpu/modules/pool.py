@@ -96,7 +96,11 @@ class _SparsePoolBase(Module):
             and self.stride == (2,) * self.ndim
             and self.padding == (0,) * self.ndim
             and self.dilation == (1,) * self.ndim
-            and self.algo in ("native", "sk", "auto")
+            # an explicit algo="native" request is honored (ADVICE r2
+            # low); auto only takes the fused path when sortedness is
+            # statically known, so no lax.cond fallback is compiled
+            and self.algo in ("sk", "auto")
+            and (self.algo == "sk" or input.keys_sorted)
             and not C.use_pair_keys(input.spatial_shape, input.batch_size)
             and (self.algo == "sk" or jax.default_backend() != "cpu")
         ):
@@ -121,7 +125,8 @@ class _SparsePoolBase(Module):
             )
             geom = (in_shape, out_shape,
                     int(input.batch_size), self._mode, 128, 512,
-                    jax.default_backend() == "cpu")
+                    jax.default_backend() == "cpu",
+                    bool(input.keys_sorted))
             out_feat = SP.sk_pool2_ad(
                 input.features, in_keys, out_keys, input.indices, geom
             )
@@ -136,6 +141,8 @@ class _SparsePoolBase(Module):
                 num_voxels=num_out,
                 indice_dict=dict(input.indice_dict),
                 benchmark=input.benchmark,
+                # build_pool2_outputs emits ascending unique keys
+                keys_sorted=True,
             )
 
         if self.subm:
@@ -199,6 +206,7 @@ class _SparsePoolBase(Module):
             num_voxels=num_out,
             indice_dict=dict(input.indice_dict),
             benchmark=input.benchmark,
+            keys_sorted=(input.keys_sorted if self.subm else True),
         )
         if self.indice_key is not None and self.indice_key not in out.indice_dict:
             out.indice_dict[self.indice_key] = data

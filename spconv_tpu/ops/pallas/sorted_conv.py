@@ -40,11 +40,13 @@ transposed — the reference's ``reverse_mask`` trick, ``convops.py:2247``);
 a sibling kernel accumulates wgrad per tile (``mask_output`` role,
 ``ops.py:1606-1614``).
 
-The plan (window starts / counts / overflow) is a cheap XLA computation
-on tile-boundary ranks; it depends only on the keys, so layers sharing an
-``indice_key`` reuse it.  Overflow (> MAX_NW windows for some tile),
-unsorted input, or huge grids (two-word keys) fall back to the
-rulebook+gather path via ``lax.cond``.
+The plan (window starts / counts) is a cheap XLA computation on
+tile-boundary ranks; it depends only on the keys, so layers sharing an
+``indice_key`` reuse it.  Unsorted input falls back to the
+rulebook+gather path via ``lax.cond`` — but when the caller statically
+knows the keys are sorted (``SparseConvTensor.keys_sorted``) no fallback
+branch is compiled at all.  Huge grids (two-word keys) are routed to the
+rulebook path statically by the modules.
 """
 
 from __future__ import annotations
@@ -80,13 +82,14 @@ _ALIGN = 8
 _KPITCH = 8    # key-copy shift pitch (keys)
 NSH = 16       # number of shifted key copies (NSH * _KPITCH == 128)
 
-# A (plane, tile) whose match span exceeds MAX_NW windows forces the
-# layer-wide rulebook fallback.  The window sweep is EXACT for any nw
-# (double-buffered fori loop), so this bound only guards against
-# degenerate plans: real scans measured max nw = 43 (900k-voxel conv)
-# and 131 (900k-voxel pool, one gap tile) with averages near 1 — a
-# layer-wide fallback costs far more than a few long sweeps.
-MAX_NW = 256
+# NOTE (round 3): there is no window-count bound.  The window sweep is
+# EXACT for any nw (double-buffered fori loop), and because every plan
+# clamps hi ≤ n_valid, the sweep provably never reads past
+# np_t + window ≤ n_pad — so long spans just sweep serially (real scans
+# measure avg nw ≈ 1, max 131) and the only dynamic fallback condition
+# left is an unsorted key table.  Callers that KNOW their keys are
+# sorted (``SparseConvTensor.keys_sorted``) skip the fallback branch
+# entirely — no ``lax.cond``, no dead rulebook path compiled.
 
 
 def subm_key_deltas(
@@ -174,12 +177,11 @@ def _plan_from_tile_bounds(
     ws = (glo // _ALIGN) * _ALIGN
     ws = jnp.clip(ws, 0, max((n_pad - window) // _ALIGN * _ALIGN, 0))
     nw = jnp.where(present, -(-(ghi - ws) // window), 0)
-    overflow = jnp.any(nw > MAX_NW)
     unsorted = jnp.any(table_keys[1:] < table_keys[:-1])
     return SKPlan(
         ws=ws.astype(jnp.int32),
         nw=nw.astype(jnp.int32),
-        fallback=overflow | unsorted,
+        fallback=unsorted,
     )
 
 
@@ -985,9 +987,12 @@ class _SKGeom(NamedTuple):
 
 
 def _n_pad_for(n: int, tile: int, window: int) -> Tuple[int, int]:
+    """Padded table length: window reads end at < hi + window ≤
+    np_t + window for every plan (hi is clamped to n_valid), so one
+    window of slack suffices for DMA legality at any window count."""
     n_tiles = -(-n // tile)
     np_t = n_tiles * tile
-    n_pad = _round_up(np_t + MAX_NW * window + NSH * _LANE, _LANE)
+    n_pad = _round_up(np_t + window + 2 * _LANE, _LANE)
     return np_t, n_pad
 
 
@@ -1527,7 +1532,7 @@ class SKRegData:
 
     def __init__(self, in_keys, out_keys, out_indices, num_out, plans, *,
                  ksize, stride, padding, dilation, in_shape, out_shape,
-                 tile, window, transposed=False):
+                 tile, window, transposed=False, output_padding=None):
         self.in_keys = in_keys
         self.out_keys = out_keys
         self.out_indices = out_indices
@@ -1542,6 +1547,8 @@ class SKRegData:
         self.tile = int(tile)
         self.window = int(window)
         self.transposed = bool(transposed)
+        self.output_padding = (tuple(output_padding) if output_padding
+                               else (0,) * len(self.ksize))
 
 
 def _skreg_flatten(obj):
@@ -1549,7 +1556,7 @@ def _skreg_flatten(obj):
              obj.plans),
             (obj.ksize, obj.stride, obj.padding, obj.dilation,
              obj.in_shape, obj.out_shape, obj.tile, obj.window,
-             obj.transposed))
+             obj.transposed, obj.output_padding))
 
 
 def _skreg_unflatten(aux, children):
@@ -1557,7 +1564,8 @@ def _skreg_unflatten(aux, children):
     (obj.in_keys, obj.out_keys, obj.out_indices, obj.num_out,
      obj.plans) = children
     (obj.ksize, obj.stride, obj.padding, obj.dilation, obj.in_shape,
-     obj.out_shape, obj.tile, obj.window, obj.transposed) = aux
+     obj.out_shape, obj.tile, obj.window, obj.transposed,
+     obj.output_padding) = aux
     return obj
 
 

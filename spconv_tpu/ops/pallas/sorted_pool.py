@@ -31,7 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import sorted_conv as SK
-from .sorted_conv import (_ALIGN, _KPITCH, _LANE, MAX_NW, SKPlan,
+from .sorted_conv import (_ALIGN, _KPITCH, _LANE, SKPlan,
                           _n_pad_for, _pad_lanes, _pad_rows,
                           _plan_from_row_probes, prep_keys_sh)
 
@@ -318,12 +318,16 @@ def sk_pool2(
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def sk_pool2_ad(features, in_keys, out_keys, indices, geom):
-    """Differentiable sorted-key pool.  Forward = fused kernel (with a
-    rulebook fallback inside ``lax.cond``); backward = the XLA
-    parent-gather formula over the fast pool rulebook — max grads route
-    to every input equal to the max, the reference's value-compare
-    semantics (``csrc/sparse/maxpool.py:41-158``)."""
-    in_shape, out_shape, batch_size, mode, tile, window, interpret = geom
+    """Differentiable sorted-key pool.  Forward = fused kernel; backward =
+    the XLA parent-gather formula over the fast pool rulebook — max grads
+    route to every input equal to the max, the reference's value-compare
+    semantics (``csrc/sparse/maxpool.py:41-158``).
+
+    ``geom[7]`` (``sorted_static``): when the caller statically knows the
+    input rows are key-sorted, no ``lax.cond`` rulebook fallback branch
+    is compiled at all; otherwise unsorted input falls back dynamically."""
+    (in_shape, out_shape, batch_size, mode, tile, window, interpret,
+     sorted_static) = (geom + (False,))[:8]
 
     plan = None
     n = in_keys.shape[0]
@@ -359,6 +363,8 @@ def sk_pool2_ad(features, in_keys, out_keys, indices, geom):
             return indice_maxpool(f, data.pair_fwd)
         return indice_avgpool(f, data.pair_fwd)
 
+    if sorted_static:
+        return fast(features)
     return jax.lax.cond(plan.fallback, slow, fast, features)
 
 
@@ -368,7 +374,7 @@ def _sk_pool2_ad_fwd(features, in_keys, out_keys, indices, geom):
 
 
 def _sk_pool2_ad_bwd(geom, res, dout):
-    in_shape, out_shape, batch_size, mode, tile, window, interpret = geom
+    in_shape, out_shape, batch_size, mode, tile, window, interpret = geom[:7]
     features, out, indices = res
     from ...ops.rulebook import build_pool2_rulebook
 

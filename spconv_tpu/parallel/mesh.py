@@ -51,16 +51,20 @@ def data_parallel_call(
     net,
     mesh: Mesh,
     axis: str = "dp",
+    keys_sorted: bool = False,
 ):
     """Wrap ``net(x) -> SparseConvTensor`` as a data-parallel function over
     stacked (features, indices).  Weights are replicated; each device
-    processes its own scans."""
+    processes its own scans.  Pass ``keys_sorted=True`` when every shard's
+    rows are key-sorted (e.g. PointToVoxel output) to enable the fused
+    sorted-key kernels per shard."""
     shard_map = jax.shard_map
 
     def call(params_net, feats, inds, spatial, batch_per_shard):
         def shard_fn(feats_s, inds_s):
             x = SparseConvTensor(
-                feats_s[0], inds_s[0], spatial, batch_per_shard
+                feats_s[0], inds_s[0], spatial, batch_per_shard,
+                keys_sorted=keys_sorted,
             )
             out = params_net(x)
             return out.features[None], out.indices[None]
@@ -118,6 +122,7 @@ def channel_parallel_conv(
     conv,
     mesh: Mesh,
     axis: str = "tp",
+    keys_sorted: bool = False,
 ):
     """Column-parallel sparse conv: OUTPUT channels sharded across the
     mesh axis, activations replicated, shards all-gathered along the
@@ -143,7 +148,8 @@ def channel_parallel_conv(
             m.weight = w_s
             m.bias = b_s if bias is not None else None
             m.out_channels = conv.out_channels // ndev
-            x = SparseConvTensor(feats_r, inds_r, spatial, batch)
+            x = SparseConvTensor(feats_r, inds_r, spatial, batch,
+                                 keys_sorted=keys_sorted)
             out = m(x)
             of = jax.lax.all_gather(out.features, axis, axis=1,
                                     tiled=True)

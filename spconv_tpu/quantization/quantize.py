@@ -149,10 +149,14 @@ class QuantizedSparseConv(Module):
 
         # fused int8 sorted-key kernel for subm convs when the residual
         # add isn't present (the fused epilogue covers scale/bias/act);
-        # residual-fused and non-subm variants take the gather path
+        # residual-fused and non-subm variants take the gather path.
+        # keys_sorted gate (ADVICE r2 medium): the fused kernel requires
+        # key-sorted rows and has no dynamic fallback — unflagged tensors
+        # take the always-correct gather path below.
         if (
             cfg.subm
             and add_input is None
+            and x.keys_sorted
             and not _C.use_pair_keys(x.spatial_shape, x.batch_size)
             and (jax.default_backend() != "cpu")
         ):
@@ -175,7 +179,7 @@ class QuantizedSparseConv(Module):
             return SparseConvTensor(
                 q, x.indices, x.spatial_shape, x.batch_size,
                 num_voxels=x.num_voxels,
-                indice_dict=dict(x.indice_dict))
+                indice_dict=dict(x.indice_dict), keys_sorted=True)
 
         if cfg.subm:
             from ..ops.rulebook import build_subm_rulebook
@@ -220,7 +224,8 @@ class QuantizedSparseConv(Module):
         q = jnp.where(valid[:, None], q, 0).astype(jnp.int8)
         out = SparseConvTensor(
             q, out_indices, out_shape, x.batch_size, num_voxels=num_out,
-            indice_dict=dict(x.indice_dict))
+            indice_dict=dict(x.indice_dict),
+            keys_sorted=x.keys_sorted if cfg.subm else True)
         if cfg.indice_key is not None and cfg.indice_key not in out.indice_dict:
             out.indice_dict[cfg.indice_key] = data
         return out

@@ -72,7 +72,8 @@ def test_multi_impl_deep_net(rng):
     shape = (13, 21, 21)
     c_in = 8
     feats, inds = _sorted_input(rng, shape, 500, c_in, 640)
-    x = spconv_tpu.SparseConvTensor(feats, inds, shape, 1)
+    x = spconv_tpu.SparseConvTensor(feats, inds, shape, 1,
+                                    keys_sorted=True)
 
     net_nat = _Net(c_in, "native", jax.random.PRNGKey(7))
     net_sk = _Net(c_in, "sk", jax.random.PRNGKey(7))
@@ -91,7 +92,8 @@ def test_multi_impl_deep_net(rng):
 
     # input grads + per-layer weight grads
     def loss(net, f):
-        xx = spconv_tpu.SparseConvTensor(f, inds, shape, 1)
+        xx = spconv_tpu.SparseConvTensor(f, inds, shape, 1,
+                                        keys_sorted=True)
         out = net(xx)
         return jnp.sum(out.features * out.features)
 
@@ -111,7 +113,8 @@ def test_multi_impl_deep_net(rng):
             m2.weight = w
             rebuilt.append(m2)
         net.layers = rebuilt
-        xx = spconv_tpu.SparseConvTensor(f, inds, shape, 1)
+        xx = spconv_tpu.SparseConvTensor(f, inds, shape, 1,
+                                        keys_sorted=True)
         out = xx
         for m in rebuilt:
             out = m(out)

@@ -144,7 +144,8 @@ def test_sk_module_path_and_cache(rng):
     shape = (11, 13, 17)
     c = 8
     feats, inds = _sorted_input(rng, shape, 300, c, 512)
-    x = spconv_tpu.SparseConvTensor(feats, inds, shape, 1)
+    x = spconv_tpu.SparseConvTensor(feats, inds, shape, 1,
+                                    keys_sorted=True)
 
     kw = dict(bias=True, indice_key="s0", key=jax.random.PRNGKey(3))
     conv_sk = spconv_tpu.SubMConv3d(c, 16, 3, algo="sk", **kw)
@@ -266,7 +267,8 @@ def test_sk_pool_module_path(rng):
     shape = (11, 13, 17)
     c = 8
     feats, inds = _sorted_input(rng, shape, 300, c, 512)
-    x = spconv_tpu.SparseConvTensor(feats, inds, shape, 1)
+    x = spconv_tpu.SparseConvTensor(feats, inds, shape, 1,
+                                    keys_sorted=True)
     p_sk = spconv_tpu.SparseMaxPool3d(2, 2, algo="sk", out_bound=512)
     p_nat = spconv_tpu.SparseMaxPool3d(2, 2, algo="native", out_bound=512)
     y1 = jax.jit(lambda t: p_sk(t))(x)  # jit: statics must stay static
@@ -418,7 +420,8 @@ def test_sk_transposed_module_path(rng):
     shape = (7, 8, 9)
     c = 8
     feats, inds = _sorted_input(rng, shape, 150, c, 256)
-    x = spconv_tpu.SparseConvTensor(feats, inds, shape, 1)
+    x = spconv_tpu.SparseConvTensor(feats, inds, shape, 1,
+                                    keys_sorted=True)
     kw = dict(bias=True, key=jax.random.PRNGKey(5), out_bound=2048)
     t_sk = spconv_tpu.SparseConvTranspose3d(c, 12, 2, stride=2,
                                             algo="sk", **kw)
