@@ -288,9 +288,27 @@ def run_int8(floor_ms):
           f"{ms_bf:.2f} ms)", ms_i8, ms_bf)
 
 
+def _enable_compile_cache(jax):
+    """Persistent XLA compilation cache: the second bench invocation
+    skips the ~9 min of per-kernel compiles (VERDICT r2 weak #7).
+    Cache lives in the repo so driver runs from any cwd share it."""
+    from pathlib import Path
+
+    cache_dir = Path(__file__).parent / ".jax_cache"
+    cache_dir.mkdir(exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update(
+            "jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception as e:  # noqa: BLE001 — cache is best-effort
+        print(f"compile cache unavailable: {e}", file=sys.stderr)
+
+
 def main():
     import jax
 
+    _enable_compile_cache(jax)
     algo = "auto"
     only = None
     for a in sys.argv[1:]:

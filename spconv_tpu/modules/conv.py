@@ -164,6 +164,31 @@ class SparseConvolution(Module):
         input: SparseConvTensor,
         add_input: Optional[SparseConvTensor] = None,
     ) -> SparseConvTensor:
+        """Forward, wrapped in a ``jax.named_scope`` so profiler traces
+        attribute device time per layer, with per-layer voxel counts
+        recorded under ``benchmark=True`` (parity: the reference's
+        benchmark mode, ``conv.py:201-224,253-256,494-501``)."""
+        name = self.name or type(self).__name__
+        with jax.named_scope(name):
+            out = self._forward(input, add_input)
+        if input.benchmark:
+            from .modules import record_benchmark_layer
+
+            # records accumulate down the chain: each layer's output is a
+            # fresh tensor, so carry the producer's records forward
+            for k, v in input.benchmark_record.items():
+                out.benchmark_record.setdefault(k, v)
+            record_benchmark_layer(
+                out, name, self, n_in=input.num_voxels,
+                n_out=out.num_voxels,
+            )
+        return out
+
+    def _forward(
+        self,
+        input: SparseConvTensor,
+        add_input: Optional[SparseConvTensor] = None,
+    ) -> SparseConvTensor:
         assert isinstance(input, SparseConvTensor)
         features = input.features
         indices = input.indices

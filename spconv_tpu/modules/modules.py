@@ -59,6 +59,42 @@ def _accepts_training(layer) -> bool:
     return hit
 
 
+def record_benchmark_layer(out, name, module, *, n_in=None, n_out=None):
+    """Append a per-layer record to ``out.benchmark_record`` under
+    ``benchmark=True`` (parity: reference per-layer time/voxel recording,
+    ``conv.py:201-224,494-501``).  On TPU, per-layer *time* comes from
+    profiler traces via the ``jax.named_scope`` wrapping each layer;
+    the record carries the layer geometry and voxel counts.  Device
+    scalars are only materialized OUTSIDE jit (recording a tracer would
+    leak it through the non-pytree aux slot)."""
+    import jax.core as _core
+
+    def _concrete(v):
+        if v is None or isinstance(v, _core.Tracer):
+            return None
+        try:
+            return int(v)
+        except TypeError:
+            return None
+
+    rec = {
+        "layer": name,
+        "type": type(module).__name__,
+        "num_voxels_in": _concrete(n_in),
+        "num_voxels_out": _concrete(n_out),
+    }
+    for attr in ("in_channels", "out_channels", "kernel_size", "stride",
+                 "algo", "indice_key"):
+        if hasattr(module, attr):
+            rec[attr] = getattr(module, attr)
+    key = name
+    i = 1
+    while key in out.benchmark_record:
+        key = f"{name}#{i}"
+        i += 1
+    out.benchmark_record[key] = rec
+
+
 def _apply_featurewise(x, fn: Callable):
     if isinstance(x, SparseConvTensor):
         out = fn(x.features)

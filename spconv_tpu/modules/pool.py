@@ -71,6 +71,23 @@ class _SparsePoolBase(Module):
         return max(128, -(-b // 128) * 128)
 
     def __call__(self, input: SparseConvTensor) -> SparseConvTensor:
+        """Forward wrapped in ``jax.named_scope`` + per-layer voxel
+        recording under ``benchmark=True`` (see conv.py counterpart)."""
+        name = self.name or type(self).__name__
+        with jax.named_scope(name):
+            out = self._forward(input)
+        if input.benchmark:
+            from .modules import record_benchmark_layer
+
+            for k, v in input.benchmark_record.items():
+                out.benchmark_record.setdefault(k, v)
+            record_benchmark_layer(
+                out, name, self, n_in=input.num_voxels,
+                n_out=out.num_voxels,
+            )
+        return out
+
+    def _forward(self, input: SparseConvTensor) -> SparseConvTensor:
         assert isinstance(input, SparseConvTensor)
         if (
             not self.subm

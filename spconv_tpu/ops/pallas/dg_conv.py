@@ -1,0 +1,1010 @@
+"""Dynamic-gather (DG) sorted-key sparse conv — useful-FLOPs-only kernels.
+
+Second-generation TPU formulation of the rulebook-free sorted-key conv
+(see ``sorted_conv.py`` for the first).  The SK kernel's join is a
+one-hot compare consumed by an MXU matmul, which costs
+``tile·window·128`` FLOPs per kernel offset *regardless of channel
+width* — a ~100× waste factor at the 16/32-channel stages that dominate
+CenterPoint-style encoders (the reference serves those widths with
+dedicated SIMT kernels, ``/root/reference/spconv/core.py:205-412``).
+
+The DG kernel instead exploits Mosaic's per-sublane dynamic LANE gather
+(``jnp.take_along_axis(x, idx, axis=1)`` — probed working for f32/int32
+on v5e, ``tools/probe_dg.py``):
+
+* Tables live **transposed and lane-chunked**: ``[n_chunks, C, 128]``
+  f32, chunk ``c`` holding voxel rows ``128c..128c+127`` along lanes,
+  channels along sublanes.  Keys ride a parallel ``[n_chunks, 8, 128]``
+  int32 table (row 0).
+* Per (tile, plane): DMA the plan's key+feature window (128-aligned
+  starts, ``WCH`` chunks).  For each kernel offset, find the match
+  position of every probe by **in-register binary search** over the
+  window keys (9 select/gather steps on [G,128] vectors — VPU-only),
+  then gather the matched feature columns with ``take_along_axis``
+  (cost ∝ C·tile, not 128·window).
+* The only MXU work left is the deep GEMM
+  ``W [K, kv·C] @ gbufT [kv·C, tile]`` — exactly the conv's useful
+  FLOPs.  Everything is transposed (outputs ``[K, tile]``) so gather
+  lanes = voxel rows throughout; the [N,K] view is restored by one XLA
+  transpose at the boundary.
+
+Same window plans as the SK family (``build_sk_plans`` with
+``align=128``), same probe maps (shift / affine / divide), same
+plan-reuse story via ``indice_key``.
+
+Parity: this plays the role of the reference's implicit-GEMM kernel
+family for *all* channel widths (``convops.py:1150-1467``), with the
+mask_argsort tile scheduling replaced by plan-driven window skipping.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import coords as C
+from .sorted_conv import (
+    _LANE, _n_pad_for, _pad_lanes, _pad_rows, _probe_affine_fn,
+    _probe_coords, _probe_divide_fn, _probe_shift_fn, _round_up,
+    build_sk_plans, sk_groups, subm_key_deltas, SKPlan,
+)
+
+__all__ = [
+    "dg_subm_conv", "dg_regular_conv", "chunk_table", "chunk_keys",
+    "unchunk_out", "DGData",
+]
+
+_KROWS = 8  # sublane rows in the chunked key table (row 0 = keys)
+
+
+# ---------------------------------------------------------------------------
+# table layout
+# ---------------------------------------------------------------------------
+
+def chunk_table(x: jax.Array, n_pad: int, c_sub: int) -> jax.Array:
+    """``[N, C]`` → transposed lane-chunked ``[n_pad//128, c_sub, 128]``
+    f32 (gatherable dtype), channels padded to ``c_sub`` sublanes."""
+    n = x.shape[0]
+    xp = _pad_lanes(_pad_rows(x.astype(jnp.float32), n_pad, 0), c_sub)
+    nc = n_pad // _LANE
+    # [n_pad, c_sub] -> [c_sub, n_pad] -> [c_sub, nc, 128] -> [nc, c_sub, 128]
+    return jnp.transpose(
+        jnp.transpose(xp).reshape(c_sub, nc, _LANE), (1, 0, 2)
+    )
+
+
+def chunk_keys(keys: jax.Array, n_pad: int, sentinel) -> jax.Array:
+    """``[N]`` int32 sorted keys → ``[n_pad//128, _KROWS, 128]`` (row 0
+    holds the keys; rows 1.. are sentinel padding for DMA shape)."""
+    kp = _pad_rows(keys, n_pad, np.int32(2**31 - 1))
+    nc = n_pad // _LANE
+    k0 = kp.reshape(nc, 1, _LANE)
+    pad = jnp.full((nc, _KROWS - 1, _LANE), np.int32(2**31 - 1), jnp.int32)
+    return jnp.concatenate([k0, pad], axis=1)
+
+
+def unchunk_out(out: jax.Array, n: int, k: int) -> jax.Array:
+    """``[n_tiles, k_sub, 128]`` → ``[n, k]`` (undo the transposed
+    tiling)."""
+    n_tiles, k_sub, _ = out.shape
+    return jnp.transpose(out, (0, 2, 1)).reshape(n_tiles * _LANE,
+                                                 k_sub)[:n, :k]
+
+
+# ---------------------------------------------------------------------------
+# in-kernel search + gather (v2: all offsets stacked along sublanes)
+# ---------------------------------------------------------------------------
+
+def _key_at(wk_chunks, idx):
+    """Window key at ``idx`` ∈ [0, window) per element.  ``wk_chunks``:
+    list of [gs,128] int32 (chunk j of each row's window, already
+    plane-selected per row)."""
+    res = jnp.full(idx.shape, np.int32(2**31 - 1), jnp.int32)
+    for j, rows in enumerate(wk_chunks):
+        within = jnp.clip(idx - j * _LANE, 0, _LANE - 1)
+        kj = jnp.take_along_axis(rows, within, axis=1)
+        res = jnp.where((idx // _LANE) == j, kj, res)
+    return res
+
+
+def _search_window(wk_chunks, probes, window: int):
+    """Lower-bound binary search of each probe in its (sorted) window.
+
+    ``probes``: [gs, 128] int32 (−1 = dead).  Returns ``pos`` ∈
+    [0, window) and ``found`` bool, both [gs, 128]."""
+    lo = jnp.zeros(probes.shape, jnp.int32)
+    hi = jnp.full(probes.shape, np.int32(window), jnp.int32)
+    steps = int(np.ceil(np.log2(window + 1)))
+    for _ in range(steps):
+        active = lo < hi
+        mid = jax.lax.div(lo + hi, np.int32(2))
+        kmid = _key_at(wk_chunks, mid)
+        go_right = kmid < probes
+        lo = jnp.where(active & go_right, mid + 1, lo)
+        hi = jnp.where(active & (~go_right), mid, hi)
+    pos = jnp.clip(lo, 0, window - 1)
+    found = (_key_at(wk_chunks, pos) == probes)
+    return pos, found
+
+
+def _gather_feat(wf_chunks, pos, found, c_sub):
+    """Gather matched feature columns from the window chunks.
+
+    ``pos``/``found``: [1,128] per-lane match position/flag.
+    ``wf_chunks``: list of [c_sub,128] f32.  Returns [c_sub,128] f32
+    (zeros where unmatched)."""
+    idx = jnp.broadcast_to(pos, (c_sub, _LANE))
+    fnd = jnp.broadcast_to(found, (c_sub, _LANE))
+    acc = jnp.zeros((c_sub, _LANE), jnp.float32)
+    for j, ch in enumerate(wf_chunks):
+        within = jnp.clip(idx - j * _LANE, 0, _LANE - 1)
+        fj = jnp.take_along_axis(ch, within, axis=1)
+        acc = jnp.where(((idx // _LANE) == j) & fnd, fj, acc)
+    return acc
+
+
+def _stack_rows(rows, gs):
+    """Concatenate [*,128] pieces along sublanes and pad to ``gs``."""
+    have = sum(r.shape[0] for r in rows)
+    if gs > have:
+        rows = rows + [jnp.full((gs - have, _LANE), np.int32(-1),
+                                jnp.int32)]
+    return jnp.concatenate(rows, axis=0) if len(rows) > 1 else rows[0]
+
+
+def _row_mask(kv, gs):
+    """[gs,1] bool: rows < kv are live offsets (iota, not a captured
+    constant — Pallas kernels may not close over array values)."""
+    return jax.lax.broadcasted_iota(jnp.int32, (gs, 1), 0) < kv
+
+
+def make_ptab(deltas, disp, gs) -> jax.Array:
+    """Per-offset constant table [gs, 128] int32 passed INTO the kernel
+    (closure constants are rejected by pallas): col 0 = key shift Δ_k
+    (0 for affine/divide probes), cols 1..ndim = displacement d_k."""
+    kv, ndim = disp.shape
+    tab = np.zeros((gs, 128), np.int32)
+    if deltas is not None:
+        tab[:kv, 0] = np.asarray(deltas, np.int64)
+    tab[:kv, 1:1 + ndim] = np.asarray(disp, np.int32)
+    return jnp.asarray(tab)
+
+
+def _vec_shift_probes(kt, live, coord, bidx, ptab, dims, kv, gs):
+    """All-offset subm probes stacked [gs,128] (−1 = dead/out-of-range).
+    Vectorized form of ``_probe_shift_fn`` — per-offset constants ride
+    [gs,1] columns of the ``ptab`` input."""
+    ok = jnp.broadcast_to(live.reshape(1, _LANE), (gs, _LANE))
+    ok = ok & _row_mask(kv, gs)
+    for a in range(len(dims)):
+        da = ptab[:, a + 1:a + 2]
+        ca = coord[a].reshape(1, _LANE) + da
+        ok = ok & (ca >= 0) & (ca < dims[a])
+    probes = kt.reshape(1, _LANE) + ptab[:, 0:1]
+    return jnp.where(ok, probes, np.int32(-1))
+
+
+def _vec_affine_probes(kt, live, coord, bidx, ptab, stride, table_dims,
+                       kv, gs):
+    """All-offset OUT→IN probes stacked [gs,128]."""
+    ok = jnp.broadcast_to(live.reshape(1, _LANE), (gs, _LANE))
+    ok = ok & _row_mask(kv, gs)
+    key = jnp.broadcast_to(bidx.reshape(1, _LANE), (gs, _LANE))
+    for a in range(len(table_dims)):
+        ca = coord[a].reshape(1, _LANE) * int(stride[a]) \
+            + ptab[:, a + 1:a + 2]
+        ok = ok & (ca >= 0) & (ca < table_dims[a])
+        key = key * int(table_dims[a]) + ca
+    return jnp.where(ok, key, np.int32(-1))
+
+
+def _vec_divide_probes(kt, live, coord, bidx, ptab, stride, table_dims,
+                       kv, gs):
+    """All-offset IN→OUT probes (stride divisibility) stacked [gs,128]."""
+    ok = jnp.broadcast_to(live.reshape(1, _LANE), (gs, _LANE))
+    ok = ok & _row_mask(kv, gs)
+    key = jnp.broadcast_to(bidx.reshape(1, _LANE), (gs, _LANE))
+    for a in range(len(table_dims)):
+        ta = coord[a].reshape(1, _LANE) - ptab[:, a + 1:a + 2]
+        sa = int(stride[a])
+        ca = jax.lax.div(ta, np.int32(sa))
+        ok = (ok & (ta >= 0) & (jax.lax.rem(ta, np.int32(sa)) == 0)
+              & (ca < table_dims[a]))
+        key = key * int(table_dims[a]) + ca
+    return jnp.where(ok, key, np.int32(-1))
+
+
+# ---------------------------------------------------------------------------
+# forward kernel (v2: per-tile plane-batched DMA, one stacked search)
+# ---------------------------------------------------------------------------
+
+def _dg_fwd_kernel(
+    kv, c_sub, k_sub, vprobe_fn, dims, sentinel, groups, n_tiles,
+    window, comp_dtype,
+    # scalar prefetch
+    ws_ref, nw_ref,
+    # inputs
+    kt_ref,      # [1, 1, 128] int32 — this tile's OUTPUT keys
+    ptab_ref,    # [gs, 128] int32 per-offset constants (make_ptab)
+    ksh_hbm,     # [nc, _KROWS, 128] int32 chunked key table
+    feat_hbm,    # [nc, c_sub, 128] f32 chunked feature table
+    w_ref,       # [k_sub, kv*c_sub] comp_dtype
+    # output
+    out_ref,     # [1, k_sub, 128]
+    # scratch
+    wk_ref,      # [2, P, wch, _KROWS, 128] int32
+    wf_ref,      # [2, P, wch, c_sub, 128] f32
+    wk1_ref, wf1_ref,            # single-window sweep buffers
+    gbuf_ref,    # [kv*c_sub, 128] comp_dtype
+    ksems, fsems, ksem1, fsem1,
+):
+    t = pl.program_id(0)
+    P = len(groups)
+    wch = window // _LANE
+    gs = _round_up(kv, 8)
+
+    def start_tile(tt, buf):
+        for p in range(P):
+            c0 = ws_ref[p, tt] // _LANE
+            pltpu.make_async_copy(
+                ksh_hbm.at[pl.ds(c0, wch)], wk_ref.at[buf, p],
+                ksems.at[buf, p]).start()
+            pltpu.make_async_copy(
+                feat_hbm.at[pl.ds(c0, wch)], wf_ref.at[buf, p],
+                fsems.at[buf, p]).start()
+
+    buf = jax.lax.rem(t, 2)
+
+    @pl.when(t == 0)
+    def _():
+        start_tile(0, 0)
+
+    @pl.when(t + 1 < n_tiles)
+    def _():
+        start_tile(t + 1, jax.lax.rem(t + 1, 2))
+
+    for p in range(P):
+        pltpu.make_async_copy(
+            ksh_hbm.at[pl.ds(0, wch)], wk_ref.at[0, p],
+            ksems.at[buf, p]).wait()
+        pltpu.make_async_copy(
+            feat_hbm.at[pl.ds(0, wch)], wf_ref.at[0, p],
+            fsems.at[buf, p]).wait()
+
+    kt = kt_ref[0, 0]
+    live = kt != sentinel
+    coord, bidx = _probe_coords(kt, dims)
+    probes = vprobe_fn(kt, live, coord, bidx, ptab_ref[:])  # [gs, 128]
+
+    # rows of a plane whose window is absent match nothing.  Built with
+    # iota + scalar selects: Mosaic rejects concatenation of i1 vectors
+    # ("Invalid vector register cast" on vector<8x128xi1>).
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (gs, 1), 0)
+    pnw = jnp.zeros((gs, 1), jnp.int32)
+    for p, grp in enumerate(groups):
+        in_p = (rowi >= grp[0]) & (rowi <= grp[-1])
+        pnw = jnp.where(in_p, nw_ref[p, t], pnw)
+    probes = jnp.where(pnw > 0, probes, np.int32(-1))
+
+    def stacked_keys(chunk_rows):
+        """Per-row window key chunks [gs,128] (row k ← its plane's
+        window chunk).  ``chunk_rows[p][j]``: [1,128] key row."""
+        out = []
+        for j in range(wch):
+            rows = [jnp.broadcast_to(chunk_rows[p][j],
+                                     (len(grp), _LANE))
+                    for p, grp in enumerate(groups)]
+            if gs > kv:
+                rows.append(jnp.full((gs - kv, _LANE),
+                                     np.int32(2**31 - 1), jnp.int32))
+            out.append(jnp.concatenate(rows, axis=0)
+                       if len(rows) > 1 else rows[0])
+        return out
+
+    pos, found = _search_window(
+        stacked_keys([[wk_ref[buf, p, j, 0:1, :] for j in range(wch)]
+                      for p in range(P)]), probes, window)
+
+    def gather_to_gbuf(pos, found, wf_chunks_of, accumulate):
+        for p, grp in enumerate(groups):
+            chunks = wf_chunks_of(p)   # list of [c_sub,128], loaded once
+            for k in grp:
+                idx = jnp.broadcast_to(pos[k:k + 1], (c_sub, _LANE))
+                fnd = jnp.broadcast_to(found[k:k + 1], (c_sub, _LANE))
+                acc = jnp.zeros((c_sub, _LANE), jnp.float32)
+                for j in range(wch):
+                    within = jnp.clip(idx - j * _LANE, 0, _LANE - 1)
+                    fj = jnp.take_along_axis(chunks[j], within, axis=1)
+                    acc = jnp.where(((idx // _LANE) == j) & fnd, fj, acc)
+                r0 = k * c_sub
+                if accumulate:
+                    gbuf_ref[r0:r0 + c_sub, :] += acc.astype(
+                        gbuf_ref.dtype)
+                else:
+                    gbuf_ref[r0:r0 + c_sub, :] = acc.astype(
+                        gbuf_ref.dtype)
+
+    gather_to_gbuf(
+        pos, found,
+        lambda p: [wf_ref[buf, p, j] for j in range(wch)],
+        accumulate=False)
+
+    # rare extra windows: per-plane serial sweep
+    mx = nw_ref[0, t]
+    for p in range(1, P):
+        mx = jnp.maximum(mx, nw_ref[p, t])
+
+    @pl.when(mx > 1)
+    def _():
+        def sweep(wi, carry):
+            for p, grp in enumerate(groups):
+                @pl.when(wi < nw_ref[p, t])
+                def _(p=p, grp=grp):
+                    c0 = ws_ref[p, t] // _LANE + wi * wch
+                    pltpu.make_async_copy(
+                        ksh_hbm.at[pl.ds(c0, wch)], wk1_ref,
+                        ksem1).start()
+                    pltpu.make_async_copy(
+                        feat_hbm.at[pl.ds(c0, wch)], wf1_ref,
+                        fsem1).start()
+                    pltpu.make_async_copy(
+                        ksh_hbm.at[pl.ds(0, wch)], wk1_ref,
+                        ksem1).wait()
+                    pltpu.make_async_copy(
+                        feat_hbm.at[pl.ds(0, wch)], wf1_ref,
+                        fsem1).wait()
+                    # rows of OTHER planes see sentinel windows → no match
+                    wkS = []
+                    for j in range(wch):
+                        rows = []
+                        for q, g2 in enumerate(groups):
+                            if q == p:
+                                rows.append(jnp.broadcast_to(
+                                    wk1_ref[j, 0:1, :],
+                                    (len(g2), _LANE)))
+                            else:
+                                rows.append(jnp.full(
+                                    (len(g2), _LANE),
+                                    np.int32(2**31 - 1), jnp.int32))
+                        if gs > kv:
+                            rows.append(jnp.full(
+                                (gs - kv, _LANE), np.int32(2**31 - 1),
+                                jnp.int32))
+                        wkS.append(jnp.concatenate(rows, axis=0))
+                    pos1, found1 = _search_window(wkS, probes, window)
+                    ch1 = [wf1_ref[j] for j in range(wch)]
+                    for k in grp:
+                        idx = jnp.broadcast_to(pos1[k:k + 1],
+                                               (c_sub, _LANE))
+                        fnd = jnp.broadcast_to(found1[k:k + 1],
+                                               (c_sub, _LANE))
+                        acc = jnp.zeros((c_sub, _LANE), jnp.float32)
+                        for j in range(wch):
+                            within = jnp.clip(idx - j * _LANE, 0,
+                                              _LANE - 1)
+                            fj = jnp.take_along_axis(ch1[j], within,
+                                                     axis=1)
+                            acc = jnp.where(
+                                ((idx // _LANE) == j) & fnd, fj, acc)
+                        r0 = k * c_sub
+                        gbuf_ref[r0:r0 + c_sub, :] += acc.astype(
+                            gbuf_ref.dtype)
+            return carry
+
+        jax.lax.fori_loop(1, mx, sweep, 0)
+
+    out = jnp.dot(w_ref[:], gbuf_ref[:],
+                  preferred_element_type=jnp.float32)
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+def _dg_conv_call(
+    table_feats, table_keys, tile_keys, weight_kv, plan, ptab,
+    *, vprobe_builder, decode_dims, sentinel_tile, groups,
+    window, out_dtype, interpret=False,
+):
+    """Shared DG forward invocation.
+
+    ``table_feats`` [N_tab, C], ``table_keys`` [N_tab] (the gather
+    side); ``tile_keys`` [N_out] (the tile side).  ``vprobe_builder``
+    returns the stacked [gs,128] probe array from (kt, live, coord,
+    bidx).  Returns ``[N_out, K]`` in ``out_dtype``."""
+    kv, c, k_ch = weight_kv.shape
+    c_sub = _round_up(c, 8)
+    k_sub = _round_up(k_ch, 8)
+    tile = _LANE
+    n_out = tile_keys.shape[0]
+    n_tiles = -(-n_out // tile)
+    np_t = n_tiles * tile
+    _, n_pad = _n_pad_for(table_keys.shape[0], tile, window)
+    n_pad = _round_up(max(n_pad, np_t), _LANE)
+
+    ksh = chunk_keys(table_keys, n_pad, sentinel_tile)
+    feat_ch = chunk_table(table_feats, n_pad, c_sub)
+    tile_keys_p = _pad_rows(tile_keys, np_t, sentinel_tile)
+    keys_tiles = tile_keys_p.reshape(n_tiles, 1, tile)
+
+    comp_dtype = (jnp.float32 if table_feats.dtype == jnp.float32
+                  else jnp.bfloat16)
+    wpad = jnp.pad(weight_kv, ((0, 0), (0, c_sub - c), (0, k_sub - k_ch)))
+    wflat = jnp.transpose(wpad, (2, 0, 1)).reshape(k_sub, kv * c_sub)
+
+    wch = window // _LANE
+    P = len(groups)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 1, tile), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, k_sub, _LANE), lambda t, *_: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, P, wch, _KROWS, _LANE), jnp.int32),
+            pltpu.VMEM((2, P, wch, c_sub, _LANE), jnp.float32),
+            pltpu.VMEM((wch, _KROWS, _LANE), jnp.int32),
+            pltpu.VMEM((wch, c_sub, _LANE), jnp.float32),
+            pltpu.VMEM((kv * c_sub, _LANE), comp_dtype),
+            pltpu.SemaphoreType.DMA((2, P)),
+            pltpu.SemaphoreType.DMA((2, P)),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    kernel = functools.partial(
+        _dg_fwd_kernel, kv, c_sub, k_sub, vprobe_builder,
+        tuple(decode_dims), sentinel_tile, groups, n_tiles, window,
+        comp_dtype,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, k_sub, _LANE),
+                                       out_dtype),
+        interpret=interpret,
+    )(plan.ws, plan.nw, keys_tiles, ptab, ksh, feat_ch,
+      wflat.astype(comp_dtype))
+    return unchunk_out(out, n_out, k_ch)
+
+
+# ---------------------------------------------------------------------------
+# fused backward kernel (dgrad + wgrad share the dout gather)
+# ---------------------------------------------------------------------------
+
+def _dg_bwd_kernel(
+    kv, center, c_sub, k_sub, probe_fn, dims, sentinel, groups,
+    n_tiles, window, comp_dtype,
+    ws_ref, nw_ref,
+    kt_ref,      # [1, 1, 128] — tile keys (input rows)
+    ft_ref,      # [1, c_sub, 128] — forward features tile (wgrad operand)
+    dt_ref,      # [1, k_sub, 128] — dout tile (subm center identity)
+    ksh_hbm,     # chunked table keys (dout side)
+    dout_hbm,    # [nc, k_sub, 128] f32 chunked dout table
+    wdg_ref,     # [c_sub, kv*k_sub] comp_dtype — blocks W[k] (dgrad)
+    din_ref,     # [1, c_sub, 128]
+    dw_ref,      # [kv, k_sub, c_sub] f32 — dWᵀ blocks, grid-accumulated
+    wk2_ref, wf2_ref, wk1_ref, wf1_ref, gbuf_ref,
+    ksem2, fsem2, ksem1, fsem1,
+):
+    t = pl.program_id(0)
+    n_planes = len(groups)
+    wch = window // _LANE
+
+    @pl.when(t == 0)
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+
+    kt = kt_ref[0, 0]
+    live = kt != sentinel
+    coord, bidx = _probe_coords(kt, dims)
+
+    def start_dma2(step, buf):
+        tt = step // n_planes
+        pp = step % n_planes
+        c0 = ws_ref[pp, tt] // _LANE
+        pltpu.make_async_copy(
+            ksh_hbm.at[pl.ds(c0, wch)], wk2_ref.at[buf], ksem2.at[buf],
+        ).start()
+        pltpu.make_async_copy(
+            dout_hbm.at[pl.ds(c0, wch)], wf2_ref.at[buf], fsem2.at[buf],
+        ).start()
+
+    def start_dma1(pp, wi, buf):
+        c0 = ws_ref[pp, t] // _LANE + wi * wch
+        pltpu.make_async_copy(
+            ksh_hbm.at[pl.ds(c0, wch)], wk1_ref.at[buf], ksem1.at[buf],
+        ).start()
+        pltpu.make_async_copy(
+            dout_hbm.at[pl.ds(c0, wch)], wf1_ref.at[buf], fsem1.at[buf],
+        ).start()
+
+    ftt = jnp.transpose(ft_ref[0], (1, 0)).astype(comp_dtype)  # [128, c_sub]
+
+    if center is not None:
+        dtb = dt_ref[0].astype(comp_dtype)  # [k_sub, 128]
+        gbuf_ref[center * k_sub:(center + 1) * k_sub, :] = dtb
+        dw_ref[center] += jnp.dot(
+            dtb, ftt, preferred_element_type=jnp.float32,
+        ).astype(dw_ref.dtype)
+
+    for p, grp in enumerate(groups):
+        s = t * n_planes + p
+        buf = s % 2
+        if p == 0:
+            @pl.when(t == 0)
+            def _():
+                start_dma2(0, 0)
+
+        @pl.when(s + 1 < n_tiles * n_planes)
+        def _(s=s):
+            start_dma2(s + 1, (s + 1) % 2)
+
+        pltpu.make_async_copy(
+            ksh_hbm.at[pl.ds(0, wch)], wk2_ref.at[buf], ksem2.at[buf],
+        ).wait()
+        pltpu.make_async_copy(
+            dout_hbm.at[pl.ds(0, wch)], wf2_ref.at[buf], fsem2.at[buf],
+        ).wait()
+
+        nw = nw_ref[p, t]
+        plive = live & (nw > 0)
+        g_sub = _round_up(len(grp), 8)
+        prows = [probe_fn(kt, plive, coord, bidx, k).reshape(1, _LANE)
+                 for k in grp]
+        if g_sub > len(grp):
+            prows = prows + [jnp.full((g_sub - len(grp), _LANE),
+                                      np.int32(-1), jnp.int32)]
+        probes = (jnp.concatenate(prows, axis=0) if len(prows) > 1
+                  else prows[0])
+
+        @pl.when(nw > 1)
+        def _(p=p):
+            start_dma1(p, 1, 1)
+
+        def window_pass(wk_ref_buf, wf_ref_buf, g_sub=g_sub):
+            # broadcast key rows to the probe stack height: Mosaic's
+            # take_along_axis only supports exact-2D matching shapes
+            wk_chunks = [
+                jnp.broadcast_to(wk_ref_buf[j, 0:1, :], (g_sub, _LANE))
+                for j in range(wch)
+            ]
+            wf_chunks = [wf_ref_buf[j] for j in range(wch)]
+            pos, found = _search_window(wk_chunks, probes, window)
+            return [
+                _gather_feat(wf_chunks, pos[i:i + 1], found[i:i + 1],
+                             k_sub)
+                for i in range(len(grp))
+            ]
+
+        outs = window_pass(wk2_ref[buf], wf2_ref[buf])
+
+        def extra(wi, accs, p=p):
+            sb = jax.lax.rem(wi, 2)
+
+            @pl.when(wi + 1 < nw)
+            def _():
+                start_dma1(p, wi + 1, jax.lax.rem(wi + 1, 2))
+            pltpu.make_async_copy(
+                ksh_hbm.at[pl.ds(0, wch)], wk1_ref.at[0], ksem1.at[sb],
+            ).wait()
+            pltpu.make_async_copy(
+                dout_hbm.at[pl.ds(0, wch)], wf1_ref.at[0], fsem1.at[sb],
+            ).wait()
+            eo = window_pass(wk1_ref[sb], wf1_ref[sb])
+            return [a + e for a, e in zip(accs, eo)]
+
+        outs = jax.lax.fori_loop(1, nw, extra, outs)
+
+        for i, k in enumerate(grp):
+            gb = outs[i].astype(comp_dtype)  # [k_sub, 128] gathered dout
+            gbuf_ref[k * k_sub:(k + 1) * k_sub, :] = gb
+            dw_ref[k] += jnp.dot(
+                gb, ftt, preferred_element_type=jnp.float32,
+            ).astype(dw_ref.dtype)
+
+    din = jnp.dot(wdg_ref[:], gbuf_ref[:],
+                  preferred_element_type=jnp.float32)
+    din_ref[0] = din.astype(din_ref.dtype)
+
+
+def _dg_bwd_call(
+    tile_feats, tile_keys, dout_table, table_keys, weight_kv, plan_bwd,
+    *, probe_fn, decode_dims, sentinel_tile, center, groups, window,
+    interpret=False,
+):
+    """Fused dgrad+wgrad.  Tiles run over the INPUT rows; gathers read
+    the chunked ``dout_table`` through the reversed probes.  Returns
+    ``(din [N_in, C], dw [kv, C, K])``."""
+    kv, c, k_ch = weight_kv.shape
+    c_sub = _round_up(c, 8)
+    k_sub = _round_up(k_ch, 8)
+    tile = _LANE
+    n_in = tile_keys.shape[0]
+    n_tiles = -(-n_in // tile)
+    np_t = n_tiles * tile
+    _, n_pad = _n_pad_for(table_keys.shape[0], tile, window)
+    n_pad = max(n_pad, np_t)
+    n_pad = _round_up(n_pad, _LANE)
+
+    ksh = chunk_keys(table_keys, n_pad, sentinel_tile)
+    dout_ch = chunk_table(dout_table, n_pad, k_sub)
+    feat_ch = chunk_table(tile_feats, _round_up(np_t, _LANE), c_sub)
+    tile_keys_p = _pad_rows(tile_keys, np_t, sentinel_tile)
+    keys_tiles = tile_keys_p.reshape(n_tiles, 1, tile)
+    if center is not None:
+        dt = dout_ch[:n_tiles]
+    else:
+        dt = jnp.zeros((n_tiles, k_sub, _LANE), jnp.float32)
+
+    comp_dtype = (jnp.float32 if dout_table.dtype == jnp.float32
+                  else jnp.bfloat16)
+    # dgrad weights: din_tile = Σ_k W[k] [C,K] @ gathered_k [K,128]
+    wpad = jnp.pad(weight_kv, ((0, 0), (0, c_sub - c), (0, k_sub - k_ch)))
+    wdg = jnp.transpose(wpad, (1, 0, 2)).reshape(c_sub, kv * k_sub)
+
+    wch = window // _LANE
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 1, tile), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_sub, _LANE), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_sub, _LANE), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, c_sub, _LANE), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kv, k_sub, c_sub), lambda t, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, wch, _KROWS, _LANE), jnp.int32),
+            pltpu.VMEM((2, wch, k_sub, _LANE), jnp.float32),
+            pltpu.VMEM((2, wch, _KROWS, _LANE), jnp.int32),
+            pltpu.VMEM((2, wch, k_sub, _LANE), jnp.float32),
+            pltpu.VMEM((kv * k_sub, _LANE), comp_dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(
+        _dg_bwd_kernel, kv, center, c_sub, k_sub, probe_fn,
+        tuple(decode_dims), sentinel_tile, groups, n_tiles, window,
+        comp_dtype,
+    )
+    din, dwt = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, c_sub, _LANE),
+                                 tile_feats.dtype),
+            jax.ShapeDtypeStruct((kv, k_sub, c_sub), jnp.float32),
+        ],
+        interpret=interpret,
+    )(plan_bwd.ws, plan_bwd.nw, keys_tiles, feat_ch[:n_tiles], dt, ksh,
+      dout_ch, wdg.astype(comp_dtype))
+    din2 = unchunk_out(din, n_in, c)
+    dw = jnp.transpose(dwt, (0, 2, 1))[:, :c, :k_ch]  # [kv, C, K]
+    return din2, dw
+
+
+# ---------------------------------------------------------------------------
+# custom-vjp entry points
+# ---------------------------------------------------------------------------
+
+class _DGGeom(NamedTuple):
+    deltas_key: tuple
+    disp: tuple
+    dims: tuple
+    sentinel: int
+    window: int
+    groups: tuple
+    interpret: bool
+
+
+def _geom_deltas(geom: "_DGGeom"):
+    ndim = len(geom.dims)
+    kv = len(geom.deltas_key)
+    return (np.asarray(geom.deltas_key, np.int32),
+            np.asarray(geom.disp, np.int32).reshape(kv, ndim))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _dg_conv(features, keys, weight_kv, plans, geom: _DGGeom):
+    plan_fwd, _ = plans
+    kv = len(geom.deltas_key)
+    gs = _round_up(kv, 8)
+    deltas, disp = _geom_deltas(geom)
+    vprobe = functools.partial(_vec_shift_probes, dims=geom.dims,
+                               kv=kv, gs=gs)
+    return _dg_conv_call(
+        features, keys, keys, weight_kv, plan_fwd,
+        make_ptab(deltas, disp, gs),
+        vprobe_builder=vprobe,
+        decode_dims=geom.dims, sentinel_tile=geom.sentinel,
+        groups=geom.groups, window=geom.window,
+        out_dtype=features.dtype, interpret=geom.interpret,
+    )
+
+
+def _dg_conv_fwd(features, keys, weight_kv, plans, geom):
+    out = _dg_conv(features, keys, weight_kv, plans, geom)
+    return out, (features, keys, weight_kv, plans)
+
+
+def _dg_conv_bwd(geom, res, g):
+    features, keys, weight_kv, plans = res
+    _, plan_bwd = plans
+    g = g.astype(features.dtype)
+    deltas, disp = _geom_deltas(geom)
+    rev = (-deltas, -disp)
+    din, dw_kv = _dg_bwd_call(
+        features, keys, g, keys, weight_kv, plan_bwd,
+        probe_fn=_probe_shift_fn(rev, geom.dims),
+        decode_dims=geom.dims, sentinel_tile=geom.sentinel,
+        center=None, groups=geom.groups, window=geom.window,
+        interpret=geom.interpret,
+    )
+    zf = jax.dtypes.float0
+    return (din.astype(features.dtype), np.zeros(keys.shape, dtype=zf),
+            dw_kv.astype(weight_kv.dtype),
+            jax.tree_util.tree_map(
+                lambda x: np.zeros(np.shape(x), dtype=zf), plans))
+
+
+_dg_conv.defvjp(_dg_conv_fwd, _dg_conv_bwd)
+
+
+def dg_subm_conv(
+    features: jax.Array,   # [N, C]
+    keys: jax.Array,       # [N] int32 sorted linearized keys
+    weight: jax.Array,     # KRSC [K, *ksize, C]
+    *,
+    spatial_shape: Sequence[int],
+    batch_size: int,
+    dilation: Sequence[int],
+    window: int = 384,
+    plans: Optional[Tuple[SKPlan, SKPlan]] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Dynamic-gather subm conv on a key-sorted tensor → ``[N, K]``.
+
+    Requires statically-sorted input (``SparseConvTensor.keys_sorted``);
+    no dynamic fallback branch exists.  Differentiable with a fused
+    dgrad+wgrad backward."""
+    ksize = tuple(int(k) for k in weight.shape[1:-1])
+    dilation = tuple(int(d) for d in dilation)
+    k_out = weight.shape[0]
+    c = weight.shape[-1]
+    kv = int(np.prod(ksize))
+    weight_kv = jnp.transpose(
+        weight.reshape(k_out, kv, c), (1, 2, 0))  # [kv, C, K]
+
+    deltas_np, disp_np = subm_key_deltas(ksize, dilation, spatial_shape)
+    # DG searches the center offset like any other (no identity
+    # shortcut): all kv offsets ride the ONE stacked binary search, so
+    # excluding the center would save nothing and complicate the plans.
+    groups = sk_groups(ksize, include_center=True)
+    dims = tuple(int(s) for s in spatial_shape)
+    sentinel = int(np.prod(dims)) * int(batch_size)
+    n = keys.shape[0]
+    np_t, n_pad = _n_pad_for(n, _LANE, window)
+
+    if plans is None:
+        keys_p = _pad_rows(keys, np_t, sentinel)
+        plans = build_sk_plans(
+            keys_p, sentinel, deltas_np, groups, tile=_LANE,
+            window=window, n_pad=n_pad, align=_LANE,
+        )
+
+    geom = _DGGeom(
+        deltas_key=tuple(int(d) for d in deltas_np),
+        disp=tuple(int(v) for v in disp_np.reshape(-1)),
+        dims=dims, sentinel=sentinel, window=window, groups=groups,
+        interpret=interpret,
+    )
+    return _dg_conv(features, keys, weight_kv, plans, geom)
+
+
+# ---------------------------------------------------------------------------
+# regular / inverse convs
+# ---------------------------------------------------------------------------
+
+class _DGRegGeom(NamedTuple):
+    stride: tuple
+    disp: tuple
+    in_dims: tuple
+    out_dims: tuple
+    sent_in: int
+    sent_out: int
+    window: int
+    groups: tuple
+    inverse: bool
+    interpret: bool
+
+
+def _reg_disp(geom: _DGRegGeom):
+    ndim = len(geom.in_dims)
+    return np.asarray(geom.disp, np.int32).reshape(-1, ndim)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _dg_reg_conv(features, in_keys, out_keys, weight_kv, plans,
+                 geom: _DGRegGeom):
+    disp = _reg_disp(geom)
+    plan_io, plan_oi = plans
+    kv = disp.shape[0]
+    gs = _round_up(kv, 8)
+    ptab = make_ptab(None, disp, gs)
+    if not geom.inverse:
+        vprobe = functools.partial(
+            _vec_affine_probes, stride=geom.stride,
+            table_dims=geom.in_dims, kv=kv, gs=gs)
+        return _dg_conv_call(
+            features, in_keys, out_keys, weight_kv, plan_io, ptab,
+            vprobe_builder=vprobe,
+            decode_dims=geom.out_dims, sentinel_tile=geom.sent_out,
+            groups=geom.groups, window=geom.window,
+            out_dtype=features.dtype, interpret=geom.interpret,
+        )
+    vprobe = functools.partial(
+        _vec_divide_probes, stride=geom.stride,
+        table_dims=geom.out_dims, kv=kv, gs=gs)
+    return _dg_conv_call(
+        features, out_keys, in_keys, weight_kv, plan_oi, ptab,
+        vprobe_builder=vprobe,
+        decode_dims=geom.in_dims, sentinel_tile=geom.sent_in,
+        groups=geom.groups, window=geom.window,
+        out_dtype=features.dtype, interpret=geom.interpret,
+    )
+
+
+def _dg_reg_conv_fwd(features, in_keys, out_keys, weight_kv, plans, geom):
+    out = _dg_reg_conv(features, in_keys, out_keys, weight_kv, plans,
+                       geom)
+    return out, (features, in_keys, out_keys, weight_kv, plans)
+
+
+def _dg_reg_conv_bwd(geom, res, g):
+    features, in_keys, out_keys, weight_kv, plans = res
+    plan_io, plan_oi = plans
+    g = g.astype(features.dtype)
+    disp = _reg_disp(geom)
+    if not geom.inverse:
+        din, dw_kv = _dg_bwd_call(
+            features, in_keys, g, out_keys, weight_kv, plan_oi,
+            probe_fn=_probe_divide_fn(geom.stride, disp, geom.out_dims),
+            decode_dims=geom.in_dims, sentinel_tile=geom.sent_in,
+            center=None, groups=geom.groups, window=geom.window,
+            interpret=geom.interpret,
+        )
+    else:
+        din, dw_kv = _dg_bwd_call(
+            features, out_keys, g, in_keys, weight_kv, plan_io,
+            probe_fn=_probe_affine_fn(geom.stride, disp, geom.in_dims),
+            decode_dims=geom.out_dims, sentinel_tile=geom.sent_out,
+            center=None, groups=geom.groups, window=geom.window,
+            interpret=geom.interpret,
+        )
+    zf = jax.dtypes.float0
+    return (din.astype(features.dtype),
+            np.zeros(in_keys.shape, dtype=zf),
+            np.zeros(out_keys.shape, dtype=zf),
+            dw_kv.astype(weight_kv.dtype),
+            jax.tree_util.tree_map(
+                lambda x: np.zeros(np.shape(x), dtype=zf), plans))
+
+
+_dg_reg_conv.defvjp(_dg_reg_conv_fwd, _dg_reg_conv_bwd)
+
+
+def dg_regular_conv(
+    features: jax.Array,
+    in_keys: jax.Array,
+    out_keys: jax.Array,
+    weight: jax.Array,      # KRSC
+    *,
+    in_shape: Sequence[int],
+    out_shape: Sequence[int],
+    batch_size: int,
+    stride: Sequence[int],
+    padding: Sequence[int],
+    dilation: Sequence[int],
+    inverse: bool = False,
+    window: int = 384,
+    plans=None,
+    interpret: bool = False,
+):
+    """Dynamic-gather regular (strided) / inverse sparse conv on sorted
+    keys.  Same calling convention as ``sk_regular_conv``; plans are
+    built with 128-aligned window starts (reusable only with other DG
+    layers).  Returns ``(out_features, plans, geom)``."""
+    from .sorted_conv import _SKRegGeom, build_sk_reg_plans
+
+    ksize = tuple(int(k) for k in weight.shape[1:-1])
+    k_out = weight.shape[0]
+    c = weight.shape[-1]
+    kv = int(np.prod(ksize))
+    offs = C.kernel_offsets(ksize)
+    disp = (offs * np.asarray([int(d) for d in dilation])
+            - np.asarray([int(p) for p in padding])).astype(np.int32)
+    geom = _DGRegGeom(
+        stride=tuple(int(v) for v in stride),
+        disp=tuple(int(v) for v in disp.reshape(-1)),
+        in_dims=tuple(int(v) for v in in_shape),
+        out_dims=tuple(int(v) for v in out_shape),
+        sent_in=int(np.prod([int(v) for v in in_shape]))
+        * int(batch_size),
+        sent_out=int(np.prod([int(v) for v in out_shape]))
+        * int(batch_size),
+        window=window, groups=sk_groups(ksize, include_center=True),
+        inverse=bool(inverse), interpret=bool(interpret),
+    )
+    weight_kv = jnp.transpose(
+        weight.reshape(k_out, kv, c), (1, 2, 0))  # [kv, C, K]
+    if plans is None:
+        sk_geom = _SKRegGeom(
+            stride=geom.stride, disp=geom.disp, in_dims=geom.in_dims,
+            out_dims=geom.out_dims, sent_in=geom.sent_in,
+            sent_out=geom.sent_out, tile=_LANE, window=window,
+            groups=geom.groups, inverse=geom.inverse,
+            interpret=geom.interpret,
+        )
+        plans = build_sk_reg_plans(in_keys, out_keys, sk_geom,
+                                   align=_LANE)
+    return _dg_reg_conv(features, in_keys, out_keys, weight_kv, plans,
+                        geom), plans, geom
+
+
+class DGData:
+    """Cached DG state for an ``indice_key`` stage: sorted keys + the
+    (fwd, bwd) 128-aligned window plans (pytree; mirrors ``SKData``)."""
+
+    def __init__(self, keys, plans, *, ksize, dilation, spatial_shape,
+                 window):
+        self.keys = keys
+        self.plans = plans
+        self.ksize = tuple(ksize)
+        self.dilation = tuple(dilation)
+        self.spatial_shape = tuple(spatial_shape)
+        self.window = int(window)
+
+    @staticmethod
+    def cache_key(indice_key, ksize, dilation, window) -> str:
+        return (f"__dg__{indice_key}/{tuple(ksize)}/{tuple(dilation)}"
+                f"/w{window}")
+
+
+def _dgdata_flatten(obj):
+    return ((obj.keys, obj.plans),
+            (obj.ksize, obj.dilation, obj.spatial_shape, obj.window))
+
+
+def _dgdata_unflatten(aux, children):
+    obj = object.__new__(DGData)
+    obj.keys, obj.plans = children
+    obj.ksize, obj.dilation, obj.spatial_shape, obj.window = aux
+    return obj
+
+
+jax.tree_util.register_pytree_node(DGData, _dgdata_flatten,
+                                   _dgdata_unflatten)

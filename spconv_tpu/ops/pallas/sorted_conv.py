@@ -137,7 +137,7 @@ class SKPlan(NamedTuple):
 
 def _plan_from_tile_bounds(
     table_keys, pmin, pmax, present_off, sentinel,
-    *, groups, window, n_pad,
+    *, groups, window, n_pad, align=_ALIGN,
 ):
     """Window plan from per-(offset, tile) probe bounds (see
     :func:`_plan_from_row_probes`, which derives them from per-row
@@ -174,8 +174,8 @@ def _plan_from_tile_bounds(
         jnp.any(jnp.stack([present_off[k] for k in g]), axis=0)
         for g in groups
     ]) & (ghi > glo)
-    ws = (glo // _ALIGN) * _ALIGN
-    ws = jnp.clip(ws, 0, max((n_pad - window) // _ALIGN * _ALIGN, 0))
+    ws = (glo // align) * align
+    ws = jnp.clip(ws, 0, max((n_pad - window) // align * align, 0))
     nw = jnp.where(present, -(-(ghi - ws) // window), 0)
     unsorted = jnp.any(table_keys[1:] < table_keys[:-1])
     return SKPlan(
@@ -195,6 +195,7 @@ def _plan_from_row_probes(
     groups: Tuple[Tuple[int, ...], ...],
     window: int,
     n_pad: int,
+    align: int = _ALIGN,
 ) -> SKPlan:
     """Window plan from EXACT per-row probes: per (offset, tile) the
     window must cover [rank(min valid probe), rank(max valid probe)].
@@ -221,7 +222,7 @@ def _plan_from_row_probes(
     present_off = jnp.any(valid_rows.reshape(kv, n_tiles, tile), axis=2)
     return _plan_from_tile_bounds(
         table_keys, pmin, pmax, present_off, sentinel, groups=groups,
-        window=window, n_pad=n_pad,
+        window=window, n_pad=n_pad, align=align,
     )
 
 
@@ -290,7 +291,7 @@ def _divide_row_probes(tile_keys, stride, disp, decode_dims, table_dims,
 
 
 def build_sk_plans(keys, sentinel, deltas_np, groups, *, tile, window,
-                   n_pad, disp_np=None, dims=None):
+                   n_pad, disp_np=None, dims=None, align=_ALIGN):
     """(fwd, bwd) subm plans — bwd probes are the reversed (negated)
     deltas.  ``keys``: [Np] sorted sentinel-padded with Np % tile == 0.
 
@@ -319,7 +320,7 @@ def build_sk_plans(keys, sentinel, deltas_np, groups, *, tile, window,
     )
     plan2 = _plan_from_tile_bounds(
         keys, pmin, pmax, present, sentinel, groups=groups2,
-        window=window, n_pad=n_pad,
+        window=window, n_pad=n_pad, align=align,
     )
     g = len(groups)
     fwd = SKPlan(ws=plan2.ws[:g], nw=plan2.nw[:g], fallback=plan2.fallback)
@@ -1242,7 +1243,7 @@ def _reg_disp(geom: _SKRegGeom):
     return np.asarray(geom.disp, np.int32).reshape(-1, ndim)
 
 
-def build_sk_reg_plans(in_keys, out_keys, geom: _SKRegGeom):
+def build_sk_reg_plans(in_keys, out_keys, geom: _SKRegGeom, align=_ALIGN):
     """(plan_io, plan_oi): windows over the IN table for OUT tiles, and
     over the OUT table for IN tiles — built from exact per-row probes
     (:func:`_plan_from_row_probes`).  The regular conv uses (fwd=io,
@@ -1264,7 +1265,7 @@ def build_sk_reg_plans(in_keys, out_keys, geom: _SKRegGeom):
     )
     plan_io = _plan_from_row_probes(
         in_p, p_io, v_io, geom.sent_in, tile=tile, groups=geom.groups,
-        window=window, n_pad=npad_in,
+        window=window, n_pad=npad_in, align=align,
     )
 
     p_oi, v_oi = _divide_row_probes(
@@ -1273,7 +1274,7 @@ def build_sk_reg_plans(in_keys, out_keys, geom: _SKRegGeom):
     )
     plan_oi = _plan_from_row_probes(
         out_p, p_oi, v_oi, geom.sent_out, tile=tile, groups=geom.groups,
-        window=window, n_pad=npad_out,
+        window=window, n_pad=npad_out, align=align,
     )
     return plan_io, plan_oi
 

@@ -1,0 +1,165 @@
+"""Correctness check: DG conv vs native rulebook path (CPU interpret)."""
+import os
+import sys
+from pathlib import Path
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from spconv_tpu.ops import coords as CO
+from spconv_tpu.ops.pallas.dg_conv import dg_subm_conv, dg_regular_conv
+from spconv_tpu.ops.gather_gemm import indice_conv
+from spconv_tpu.ops.rulebook import build_subm_rulebook, build_conv_rulebook
+
+rs = np.random.RandomState(42)
+
+
+def make_case(n, ss, batch=1):
+    pts = set()
+    while len(pts) < n:
+        b = rs.randint(0, batch)
+        c = tuple(rs.randint(0, s) for s in ss)
+        pts.add((b,) + c)
+    inds = np.array(sorted(pts), np.int32)
+    keys = inds[:, 0].astype(np.int64)
+    for a, s in enumerate(ss):
+        keys = keys * s + inds[:, 1 + a]
+    order = np.argsort(keys)
+    return inds[order]
+
+
+def check_subm(n=900, ss=(21, 23, 25), c=10, k=14, ks=(3, 3, 3)):
+    inds = make_case(n, ss)
+    nbuf = 1024
+    indsp = np.full((nbuf, 4), -1, np.int32)
+    indsp[:n] = inds
+    inds_j = jnp.asarray(indsp)
+    keys_j, _ = CO.linearize(inds_j, ss, 1)
+    feats = jnp.asarray(rs.randn(nbuf, c).astype(np.float32))
+    feats = jnp.where((jnp.arange(nbuf) < n)[:, None], feats, 0)
+    w = jnp.asarray(rs.randn(k, *ks, c).astype(np.float32) * 0.1)
+
+    def loss_dg(f, wv):
+        o = dg_subm_conv(f, keys_j, wv, spatial_shape=ss, batch_size=1,
+                         dilation=(1, 1, 1), interpret=True)
+        return jnp.sum(o ** 2), o
+
+    (l1, o_dg), (gf1, gw1) = jax.value_and_grad(
+        loss_dg, argnums=(0, 1), has_aux=True)(feats, w)
+
+    data = build_subm_rulebook(inds_j, spatial_shape=ss, batch_size=1,
+                               ksize=ks, dilation=(1, 1, 1))
+
+    def loss_nat(f, wv):
+        o = indice_conv(f, wv, data.pair_fwd, data.pair_bwd,
+                        is_subm=True)
+        return jnp.sum(o ** 2), o
+
+    (l2, o_nat), (gf2, gw2) = jax.value_and_grad(
+        loss_nat, argnums=(0, 1), has_aux=True)(feats, w)
+
+    def rel(a, b):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        return np.max(np.abs(a - b)) / (np.max(np.abs(b)) + 1e-9)
+
+    print(f"subm fwd rel={rel(o_dg, o_nat):.2e} dgrad rel={rel(gf1, gf2):.2e}"
+          f" wgrad rel={rel(gw1, gw2):.2e} loss {float(l1):.3f}/{float(l2):.3f}")
+    assert rel(o_dg, o_nat) < 1e-5
+    assert rel(gf1, gf2) < 1e-5
+    assert rel(gw1, gw2) < 1e-5
+
+
+def check_reg(n=700, ss=(20, 22, 24), c=9, k=13, ks=(3, 3, 3),
+              stride=(2, 2, 2), pad=(1, 1, 1), inverse=False):
+    inds = make_case(n, ss)
+    nbuf = 1024
+    indsp = np.full((nbuf, 4), -1, np.int32)
+    indsp[:n] = inds
+    inds_j = jnp.asarray(indsp)
+
+    data = build_conv_rulebook(
+        inds_j, spatial_shape=ss, batch_size=1, ksize=ks, stride=stride,
+        padding=pad, dilation=(1, 1, 1), out_bound=nbuf)
+    out_shape = tuple(int(v) for v in data.out_spatial_shape)
+    # sort output indices by key for the DG path
+    out_keys, _ = CO.linearize(data.out_indices, out_shape, 1)
+    order = jnp.argsort(out_keys)
+    out_inds_s = data.out_indices[order]
+    out_keys_s = out_keys[order]
+    in_keys, _ = CO.linearize(inds_j, ss, 1)
+
+    feats = jnp.asarray(rs.randn(nbuf, c).astype(np.float32))
+    feats = jnp.where((jnp.arange(nbuf) < n)[:, None], feats, 0)
+    w = jnp.asarray(rs.randn(k, *ks, c).astype(np.float32) * 0.1)
+
+    if not inverse:
+        def loss_dg(f, wv):
+            o, _, _ = dg_regular_conv(
+                f, in_keys, out_keys_s, wv, in_shape=ss,
+                out_shape=out_shape, batch_size=1, stride=stride,
+                padding=pad, dilation=(1, 1, 1), interpret=True)
+            return jnp.sum(o ** 2), o
+    else:
+        # inverse: features live on the encoder OUTPUT rows; result on input rows
+        feats_o = jnp.asarray(rs.randn(nbuf, c).astype(np.float32))
+        nvalid = int(jnp.sum(out_keys_s < np.prod(out_shape)))
+        feats_o = jnp.where((jnp.arange(nbuf) < nvalid)[:, None], feats_o, 0)
+
+        def loss_dg(f, wv):
+            o, _, _ = dg_regular_conv(
+                f, in_keys, out_keys_s, wv, in_shape=ss,
+                out_shape=out_shape, batch_size=1, stride=stride,
+                padding=pad, dilation=(1, 1, 1), inverse=True,
+                interpret=True)
+            return jnp.sum(o ** 2), o
+        feats = feats_o
+
+    (l1, o_dg), (gf1, gw1) = jax.value_and_grad(
+        loss_dg, argnums=(0, 1), has_aux=True)(feats, w)
+
+    # native comparison, outputs re-ordered to sorted-key order
+    if not inverse:
+        def loss_nat(f, wv):
+            o = indice_conv(f, wv, data.pair_fwd, data.pair_bwd,
+                            is_subm=False)
+            return jnp.sum(o[order] ** 2), o[order]
+    else:
+        # native inverse: swap pair roles; features indexed by UNSORTED
+        # encoder-output rows -> remap sorted->orig
+        inv_order = jnp.argsort(order)
+
+        def loss_nat(f, wv):
+            o = indice_conv(f[inv_order][..., :], wv, data.pair_bwd,
+                            data.pair_fwd, is_subm=False)
+            return jnp.sum(o ** 2), o
+
+    (l2, o_nat), (gf2, gw2) = jax.value_and_grad(
+        loss_nat, argnums=(0, 1), has_aux=True)(feats, w)
+    if inverse:
+        gf2 = gf2[order]
+
+    def rel(a, b):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        return np.max(np.abs(a - b)) / (np.max(np.abs(b)) + 1e-9)
+
+    tag = "inv" if inverse else "reg"
+    print(f"{tag} fwd rel={rel(o_dg, o_nat):.2e} dgrad rel={rel(gf1, gf2):.2e}"
+          f" wgrad rel={rel(gw1, gw2):.2e} loss {float(l1):.3f}/{float(l2):.3f}")
+    assert rel(o_dg, o_nat) < 1e-5, "fwd mismatch"
+    assert rel(gf1, gf2) < 1e-5, "dgrad mismatch"
+    assert rel(gw1, gw2) < 1e-5, "wgrad mismatch"
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which in ("all", "subm"):
+        check_subm()
+    if which in ("all", "reg"):
+        check_reg()
+    if which in ("all", "inv"):
+        check_reg(inverse=True)
+    print("OK")

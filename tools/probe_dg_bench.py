@@ -1,0 +1,106 @@
+"""Time the DG (dynamic-gather) subm conv on the real 125k-voxel scan,
+vs the SK one-hot kernel, at C=K=64 (bench stage-0) and C=K=16
+(CenterPoint stage-1 width).  In-jit chained-repetition timing (external
+loops mis-measure through the tunnel; see DESIGN_NOTES)."""
+
+import pickle
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+
+from spconv_tpu.ops import coords as CO
+from spconv_tpu.ops.pallas.dg_conv import dg_subm_conv
+from spconv_tpu.ops.pallas.sorted_conv import sk_subm_conv
+
+REP = 20
+WHICH = sys.argv[1] if len(sys.argv) > 1 else "all"
+
+
+def load_scan():
+    voxels, coors, spatial_shape = pickle.load(
+        open('/root/reference/test/data/test_spconv.pkl', 'rb'))
+    ss = tuple(int(s) for s in spatial_shape)
+    keys = (((coors[:, 0].astype(np.int64)) * ss[0] + coors[:, 1]) * ss[1]
+            + coors[:, 2]) * ss[2] + coors[:, 3]
+    order = np.argsort(keys)
+    coors = coors[order]
+    n = coors.shape[0]
+    nbuf = 131072
+    inds = np.full((nbuf, 4), -1, np.int32)
+    inds[:n] = coors
+    return inds, ss, n
+
+
+def run_case(name, fn, *args):
+    f = jax.jit(fn)
+    t0 = time.perf_counter()
+    f(*args).block_until_ready()
+    t1 = time.perf_counter()
+    r = f(*args).block_until_ready()
+    t2 = time.perf_counter()
+    per = (t2 - t1) / REP * 1e3
+    print(f"{name}: {per:.3f} ms/iter  (compile+first {t1-t0:.1f}s)")
+    return r
+
+
+def main():
+    inds, ss, n = load_scan()
+    print(f"scan: {n} voxels, grid {ss}")
+    inds_j = jnp.asarray(inds)
+    keys_j, _ = CO.linearize(inds_j, ss, 1)
+    rs = np.random.RandomState(0)
+
+    for c in ([16, 64, 128] if WHICH == "all" else [int(WHICH)]):
+        feats = jnp.asarray(
+            rs.randn(inds.shape[0], c).astype(np.float32),
+            dtype=jnp.bfloat16)
+        w = jnp.asarray(rs.randn(c, 3, 3, 3, c).astype(np.float32) * .1,
+                        dtype=jnp.bfloat16)
+
+        def chain_dg(f0, w_):
+            def body(i, acc):
+                f = f0 * (1.0 + 0.0 * acc).astype(f0.dtype)
+                o = dg_subm_conv(f, keys_j, w_, spatial_shape=ss,
+                                 batch_size=1, dilation=(1, 1, 1))
+                return jnp.sum(o.astype(jnp.float32))
+            return jax.lax.fori_loop(0, REP, body, jnp.float32(0))
+
+        def chain_sk(f0, w_):
+            def body(i, acc):
+                f = f0 * (1.0 + 0.0 * acc).astype(f0.dtype)
+                o = sk_subm_conv(f, inds_j, keys_j, w_, spatial_shape=ss,
+                                 batch_size=1, dilation=(1, 1, 1),
+                                 fallback=False)
+                return jnp.sum(o.astype(jnp.float32))
+            return jax.lax.fori_loop(0, REP, body, jnp.float32(0))
+
+        r1 = run_case(f"DG subm C=K={c}", chain_dg, feats, w)
+        r2 = run_case(f"SK subm C=K={c}", chain_sk, feats, w)
+        print(f"  sums: dg={float(r1):.1f} sk={float(r2):.1f}")
+
+        # backward (fused dgrad+wgrad)
+        def chain_dg_bwd(f0, w_):
+            def loss(f, wv):
+                o = dg_subm_conv(f, keys_j, wv, spatial_shape=ss,
+                                 batch_size=1, dilation=(1, 1, 1))
+                return jnp.sum(o.astype(jnp.float32) ** 2)
+
+            def body(i, acc):
+                f = f0 * (1.0 + 0.0 * acc).astype(f0.dtype)
+                gf, gw = jax.grad(loss, argnums=(0, 1))(f, w_)
+                return (jnp.sum(gf.astype(jnp.float32))
+                        + jnp.sum(gw.astype(jnp.float32)))
+            return jax.lax.fori_loop(0, REP, body, jnp.float32(0))
+
+        run_case(f"DG subm fwd+bwd C=K={c}", chain_dg_bwd, feats, w)
+
+
+if __name__ == "__main__":
+    main()
