@@ -217,7 +217,7 @@ class SparseConvolution(Module):
             from ..tuner import CONV_TUNER
 
             kv = int(np.prod(self.kernel_size))
-            # auto only picks the sorted-key kernel when sortedness is
+            # auto only picks the sorted-key kernels when sortedness is
             # STATICALLY known (keys_sorted) — then no lax.cond fallback
             # branch is compiled.  Explicit algo="sk" on an unflagged
             # tensor still works through the dynamic fallback.
@@ -226,6 +226,7 @@ class SparseConvolution(Module):
                 sk_supported=(
                     (self._sk_supported(input) and input.keys_sorted)
                     or self._sk_reg_supported(input)),
+                dg_supported=self._dg_supported(input),
                 n=int(indices.shape[0]), c=self.in_channels,
                 k=self.out_channels, kv=kv, dtype=str(features.dtype),
             )
@@ -239,11 +240,15 @@ class SparseConvolution(Module):
         ):
             return self._call_block(input, add_input)
 
+        if algo == "dg" and self._dg_supported(input):
+            if self.subm:
+                return self._call_dg(input, add_input)
+            return self._call_dg_regular(input, add_input)
         if algo == "sk" and self._sk_supported(input):
             return self._call_sk(input, add_input)
         if algo == "sk" and self._sk_reg_supported(input):
             return self._call_sk_regular(input, add_input)
-        if algo in ("sk", "block"):
+        if algo in ("sk", "dg", "block"):
             # requested specialized path not applicable here — use the
             # native gather path for the compute
             algo = "native"
@@ -263,6 +268,13 @@ class SparseConvolution(Module):
                 skrec = input.indice_dict.get(f"__skreg__{self.indice_key}")
                 enc_in = input.indice_dict.get(
                     f"__skreg_in__{self.indice_key}")
+                if skrec is None:
+                    # ... or on the dynamic-gather path (same record
+                    # class, 128-aligned plans, __dgreg__ namespace)
+                    skrec = input.indice_dict.get(
+                        f"__dgreg__{self.indice_key}")
+                    enc_in = input.indice_dict.get(
+                        f"__dgreg_in__{self.indice_key}")
                 if isinstance(skrec, SKRegData) and enc_in is not None:
                     data = build_conv_rulebook(
                         enc_in,
@@ -479,6 +491,279 @@ class SparseConvolution(Module):
         if any(v <= 0 for v in out_shape):
             return False
         return not C.use_pair_keys(out_shape, input.batch_size)
+
+    def _dg_supported(self, input: SparseConvTensor) -> bool:
+        """The dynamic-gather kernel family needs STATICALLY key-sorted
+        input (it has no dynamic fallback branch at all) on single-word
+        key grids; geometry support mirrors the SK family.  For inverse
+        convs the encoder must have run the DG path (its 128-aligned
+        plans are cached under ``__dgreg__``)."""
+        if not input.keys_sorted:
+            return False
+        if self.subm:
+            return self._sk_supported(input)
+        if self.conv1x1:
+            return False
+        if C.use_pair_keys(input.spatial_shape, input.batch_size):
+            return False
+        if self.inverse:
+            from ..ops.pallas.sorted_conv import SKRegData
+
+            rec = input.indice_dict.get(f"__dgreg__{self.indice_key}")
+            return isinstance(rec, SKRegData)
+        if self.transposed:
+            out_shape = C.get_deconv_output_size(
+                input.spatial_shape, self.kernel_size, self.stride,
+                self.padding, self.dilation, self.output_padding)
+        else:
+            out_shape = C.get_conv_output_size(
+                input.spatial_shape, self.kernel_size, self.stride,
+                self.padding, self.dilation)
+        if any(v <= 0 for v in out_shape):
+            return False
+        return not C.use_pair_keys(out_shape, input.batch_size)
+
+    def _call_dg(
+        self,
+        input: SparseConvTensor,
+        add_input: Optional[SparseConvTensor] = None,
+    ) -> SparseConvTensor:
+        """Dynamic-gather subm conv (``ops/pallas/dg_conv.py``): in-kernel
+        binary search over windowed sorted keys + per-sublane lane
+        gather; keys and 128-aligned window plans cache per
+        (indice_key, geometry)."""
+        from ..ops.pallas import dg_conv as DG
+        from ..ops.pallas import sorted_conv as SK
+
+        features = input.features
+        indices = input.indices
+        spatial_shape = tuple(int(s) for s in input.spatial_shape)
+        batch_size = input.batch_size
+        window = 384
+        interpret = jax.default_backend() == "cpu"
+
+        ck = DG.DGData.cache_key(
+            self.indice_key, self.kernel_size, self.dilation, window
+        ) if self.indice_key is not None else None
+        rec = input.indice_dict.get(ck) if ck else None
+        new_rec = None
+        if rec is not None and isinstance(rec, DG.DGData):
+            keys = rec.keys
+            plans = rec.plans
+        else:
+            keys, _sent = C.linearize(indices, spatial_shape, batch_size)
+            deltas_np, _ = SK.subm_key_deltas(
+                self.kernel_size, self.dilation, spatial_shape
+            )
+            groups = SK.sk_groups(self.kernel_size, include_center=True)
+            sent_i = int(np.prod(spatial_shape)) * int(batch_size)
+            n = keys.shape[0]
+            np_t, n_pad = SK._n_pad_for(n, 128, window)
+            keys_p = SK._pad_rows(keys, np_t, sent_i)
+            plans = SK.build_sk_plans(
+                keys_p, sent_i, deltas_np, groups, tile=128,
+                window=window, n_pad=n_pad, align=128,
+            )
+            if ck:
+                new_rec = DG.DGData(
+                    keys, plans, ksize=self.kernel_size,
+                    dilation=self.dilation, spatial_shape=spatial_shape,
+                    window=window,
+                )
+
+        out_feat = DG.dg_subm_conv(
+            features, keys, self.weight,
+            spatial_shape=spatial_shape, batch_size=batch_size,
+            dilation=self.dilation, window=window, plans=plans,
+            interpret=interpret,
+        )
+        out_feat = bias_add_act(
+            out_feat, self.bias, self.act_type, self.act_alpha,
+            self.act_beta,
+            add_input.features if add_input is not None else None,
+        )
+        out_feat = jnp.where(input.valid_mask[:, None], out_feat, 0)
+        out = SparseConvTensor(
+            out_feat,
+            indices,
+            input.spatial_shape,
+            batch_size,
+            num_voxels=input.num_voxels,
+            indice_dict=dict(input.indice_dict),
+            benchmark=input.benchmark,
+            keys_sorted=input.keys_sorted,
+        )
+        if new_rec is not None:
+            out.indice_dict[ck] = new_rec
+        return out
+
+    def _call_dg_regular(
+        self,
+        input: SparseConvTensor,
+        add_input: Optional[SparseConvTensor] = None,
+    ) -> SparseConvTensor:
+        """Dynamic-gather strided/transposed/inverse conv.  Output-site
+        discovery runs in XLA; keys/128-aligned plans/sites cache under
+        ``__dgreg__<indice_key>`` and are shared with the paired inverse
+        conv (reference rulebook-reuse semantics, ``conv.py:348-363``)."""
+        from ..ops.pallas import dg_conv as DG
+        from ..ops.pallas.sorted_conv import SKRegData
+        from ..ops.rulebook import build_conv_outputs
+
+        features = input.features
+        indices = input.indices
+        spatial_shape = tuple(int(s) for s in input.spatial_shape)
+        batch_size = input.batch_size
+        window = 384
+        interpret = jax.default_backend() == "cpu"
+        ck = (f"__dgreg__{self.indice_key}"
+              if self.indice_key is not None else None)
+
+        if self.inverse:
+            data = input.indice_dict.get(ck) if ck else None
+            assert isinstance(data, SKRegData), (
+                f"SparseInverseConv (dg) requires a cached record under "
+                f"indice_key={self.indice_key!r}")
+            assert not data.transposed, (
+                "inverse conv cannot reuse a transposed-conv record")
+            assert data.ksize == self.kernel_size, (
+                f"inverse conv ksize {self.kernel_size} != encoder "
+                f"{data.ksize}")
+            assert data.out_shape == spatial_shape, (
+                f"inverse conv input shape {spatial_shape} != encoder "
+                f"output shape {data.out_shape}")
+            out_feat, _, _ = DG.dg_regular_conv(
+                features, data.in_keys, data.out_keys, self.weight,
+                in_shape=data.in_shape, out_shape=data.out_shape,
+                batch_size=batch_size, stride=data.stride,
+                padding=data.padding, dilation=data.dilation,
+                inverse=True, window=data.window, plans=data.plans,
+                interpret=interpret,
+            )
+            enc_in_indices = input.indice_dict.get(
+                f"__dgreg_in__{self.indice_key}")
+            assert enc_in_indices is not None, (
+                "encoder input indices missing from the dg cache")
+            out_feat = bias_add_act(
+                out_feat, self.bias, self.act_type, self.act_alpha,
+                self.act_beta,
+                add_input.features if add_input is not None else None,
+            )
+            valid = enc_in_indices[:, 0] >= 0
+            out_feat = jnp.where(valid[:, None], out_feat, 0)
+            return SparseConvTensor(
+                out_feat,
+                enc_in_indices,
+                data.in_shape,
+                batch_size,
+                num_voxels=jnp.sum(valid.astype(jnp.int32)),
+                indice_dict=dict(input.indice_dict),
+                benchmark=input.benchmark,
+                keys_sorted=True,
+            )
+
+        if self.transposed:
+            out_shape = tuple(int(v) for v in C.get_deconv_output_size(
+                spatial_shape, self.kernel_size, self.stride,
+                self.padding, self.dilation, self.output_padding))
+        else:
+            out_shape = tuple(int(v) for v in C.get_conv_output_size(
+                spatial_shape, self.kernel_size, self.stride,
+                self.padding, self.dilation))
+        rec = input.indice_dict.get(ck) if ck else None
+        new_rec = None
+        if (
+            isinstance(rec, SKRegData)
+            and rec.ksize == self.kernel_size
+            and rec.stride == self.stride
+            and rec.padding == self.padding
+            and rec.dilation == self.dilation
+            and rec.in_shape == spatial_shape
+            and rec.transposed == self.transposed
+            and rec.out_shape == out_shape
+            and rec.output_padding == self.output_padding
+        ):
+            in_keys = rec.in_keys
+            out_keys = rec.out_keys
+            out_indices = rec.out_indices
+            num_out = rec.num_out
+            plans = rec.plans
+        else:
+            if self.transposed:
+                from ..ops.rulebook import build_deconv_outputs
+
+                out_bound = self._resolve_out_bound(indices.shape[0])
+                out_indices, out_keys, num_out = build_deconv_outputs(
+                    indices, spatial_shape=spatial_shape,
+                    batch_size=batch_size, ksize=self.kernel_size,
+                    stride=self.stride, padding=self.padding,
+                    dilation=self.dilation,
+                    out_padding=self.output_padding,
+                    out_bound=out_bound,
+                )
+            else:
+                out_bound = self._resolve_out_bound(indices.shape[0])
+                out_indices, out_keys, num_out = build_conv_outputs(
+                    indices, spatial_shape=spatial_shape,
+                    batch_size=batch_size, ksize=self.kernel_size,
+                    stride=self.stride, padding=self.padding,
+                    dilation=self.dilation, out_bound=out_bound,
+                )
+            in_keys, _ = C.linearize(indices, spatial_shape, batch_size)
+            plans = None
+
+        if self.transposed:
+            # transposed conv == inverse-mode kernel with the spaces
+            # swapped: tiles = the EXPANDED output space, table = input
+            (out_feat, plans, _geom) = DG.dg_regular_conv(
+                features, out_keys, in_keys, self.weight,
+                in_shape=out_shape, out_shape=spatial_shape,
+                batch_size=batch_size, stride=self.stride,
+                padding=self.padding, dilation=self.dilation,
+                inverse=True, window=window, plans=plans,
+                interpret=interpret,
+            )
+        else:
+            (out_feat, plans, _geom) = DG.dg_regular_conv(
+                features, in_keys, out_keys, self.weight,
+                in_shape=spatial_shape, out_shape=out_shape,
+                batch_size=batch_size, stride=self.stride,
+                padding=self.padding, dilation=self.dilation,
+                window=window, plans=plans, interpret=interpret,
+            )
+        if ck and not isinstance(rec, SKRegData):
+            new_rec = SKRegData(
+                in_keys, out_keys, out_indices, num_out, plans,
+                ksize=self.kernel_size, stride=self.stride,
+                padding=self.padding, dilation=self.dilation,
+                in_shape=spatial_shape, out_shape=out_shape, tile=128,
+                window=window, transposed=self.transposed,
+                output_padding=self.output_padding,
+            )
+        out_feat = bias_add_act(
+            out_feat, self.bias, self.act_type, self.act_alpha,
+            self.act_beta,
+            add_input.features if add_input is not None else None,
+        )
+        out_valid = out_indices[:, 0] >= 0
+        out_feat = jnp.where(out_valid[:, None], out_feat, 0)
+        from ..calibrate import _maybe_record
+
+        _maybe_record(self, num_out)
+        out = SparseConvTensor(
+            out_feat,
+            out_indices,
+            out_shape,
+            batch_size,
+            num_voxels=num_out,
+            indice_dict=dict(input.indice_dict),
+            benchmark=input.benchmark,
+            keys_sorted=True,
+        )
+        if new_rec is not None:
+            out.indice_dict[ck] = new_rec
+            out.indice_dict[f"__dgreg_in__{self.indice_key}"] = indices
+        return out
 
     def _call_sk_regular(
         self,

@@ -62,6 +62,14 @@ __all__ = [
 
 _KROWS = 8  # sublane rows in the chunked key table (row 0 = keys)
 
+# perf-ablation knob (tools/probe_dg_bench.py): "nosearch" replaces the
+# binary search with an iota guess, "nogather" skips the feature gather,
+# "nogemm" skips the deep GEMM — results are WRONG under any of these;
+# timing deltas isolate each stage's cost.
+import os as _os
+
+_ABLATE = _os.environ.get("SPCONV_DG_ABLATE", "")
+
 
 # ---------------------------------------------------------------------------
 # table layout
@@ -77,6 +85,45 @@ def chunk_table(x: jax.Array, n_pad: int, c_sub: int) -> jax.Array:
     return jnp.transpose(
         jnp.transpose(xp).reshape(c_sub, nc, _LANE), (1, 0, 2)
     )
+
+
+def pack_pairs(c: int) -> int:
+    """Packed sublane count: bf16 channel PAIRS ride int32 lanes (the
+    only per-sublane-gatherable dtype on v5e — bf16 take_along_axis is
+    rejected, tools/probe_dg.py), halving gather ops and window DMA."""
+    return _round_up(-(-c // 2), 8)
+
+
+def chunk_table_packed(x: jax.Array, n_pad: int, c2: int) -> jax.Array:
+    """``[N, C]`` → ``[n_pad//128, c2, 128]`` int32, packed row ``r``
+    holding bf16 channels ``2r`` (low 16 bits) and ``2r+1`` (high)."""
+    n = x.shape[0]
+    xb = _pad_lanes(_pad_rows(x.astype(jnp.bfloat16), n_pad, 0), 2 * c2)
+    x2 = xb.reshape(n_pad, c2, 2)
+    lo = jax.lax.bitcast_convert_type(x2[:, :, 0], jnp.uint16)
+    hi = jax.lax.bitcast_convert_type(x2[:, :, 1], jnp.uint16)
+    packed = (lo.astype(jnp.uint32)
+              | (hi.astype(jnp.uint32) << 16)).astype(jnp.int32)
+    nc = n_pad // _LANE
+    return jnp.transpose(
+        jnp.transpose(packed).reshape(c2, nc, _LANE), (1, 0, 2)
+    )
+
+
+def _unpack_pair(acc_i):
+    """[c2,128] int32 → (lo, hi) f32 values of the packed bf16 pair
+    (bf16→f32 = append 16 zero bits; zero stays zero for misses)."""
+    lo = jax.lax.bitcast_convert_type(acc_i << 16, jnp.float32)
+    hi = jax.lax.bitcast_convert_type(acc_i & np.int32(-65536),
+                                      jnp.float32)
+    return lo, hi
+
+
+def pair_perm(c2: int) -> np.ndarray:
+    """Channel order of an unpacked gather block: [even | odd] over the
+    ``2*c2`` padded channels — weights permute to match (the deep GEMM
+    is invariant to a shared contraction-order permutation)."""
+    return np.concatenate([np.arange(c2) * 2, np.arange(c2) * 2 + 1])
 
 
 def chunk_keys(keys: jax.Array, n_pad: int, sentinel) -> jax.Array:
@@ -133,15 +180,16 @@ def _search_window(wk_chunks, probes, window: int):
     return pos, found
 
 
-def _gather_feat(wf_chunks, pos, found, c_sub):
+def _gather_feat(wf_chunks, pos, found, c_rows):
     """Gather matched feature columns from the window chunks.
 
     ``pos``/``found``: [1,128] per-lane match position/flag.
-    ``wf_chunks``: list of [c_sub,128] f32.  Returns [c_sub,128] f32
-    (zeros where unmatched)."""
-    idx = jnp.broadcast_to(pos, (c_sub, _LANE))
-    fnd = jnp.broadcast_to(found, (c_sub, _LANE))
-    acc = jnp.zeros((c_sub, _LANE), jnp.float32)
+    ``wf_chunks``: list of [c_rows,128] (f32 or packed int32).  Returns
+    [c_rows,128] in the chunk dtype (zeros where unmatched — also the
+    packed-int32 identity, so disjoint-window sums stay valid)."""
+    idx = jnp.broadcast_to(pos, (c_rows, _LANE))
+    fnd = jnp.broadcast_to(found, (c_rows, _LANE))
+    acc = jnp.zeros((c_rows, _LANE), wf_chunks[0].dtype)
     for j, ch in enumerate(wf_chunks):
         within = jnp.clip(idx - j * _LANE, 0, _LANE - 1)
         fj = jnp.take_along_axis(ch, within, axis=1)
@@ -226,20 +274,20 @@ def _vec_divide_probes(kt, live, coord, bidx, ptab, stride, table_dims,
 
 def _dg_fwd_kernel(
     kv, c_sub, k_sub, vprobe_fn, dims, sentinel, groups, n_tiles,
-    window, comp_dtype,
+    window, comp_dtype, packed,
     # scalar prefetch
     ws_ref, nw_ref,
     # inputs
     kt_ref,      # [1, 1, 128] int32 — this tile's OUTPUT keys
     ptab_ref,    # [gs, 128] int32 per-offset constants (make_ptab)
     ksh_hbm,     # [nc, _KROWS, 128] int32 chunked key table
-    feat_hbm,    # [nc, c_sub, 128] f32 chunked feature table
+    feat_hbm,    # [nc, cg, 128] chunked feature table (i32 packed / f32)
     w_ref,       # [k_sub, kv*c_sub] comp_dtype
     # output
     out_ref,     # [1, k_sub, 128]
     # scratch
     wk_ref,      # [2, P, wch, _KROWS, 128] int32
-    wf_ref,      # [2, P, wch, c_sub, 128] f32
+    wf_ref,      # [2, P, wch, cg, 128] table dtype
     wk1_ref, wf1_ref,            # single-window sweep buffers
     gbuf_ref,    # [kv*c_sub, 128] comp_dtype
     ksems, fsems, ksem1, fsem1,
@@ -248,6 +296,30 @@ def _dg_fwd_kernel(
     P = len(groups)
     wch = window // _LANE
     gs = _round_up(kv, 8)
+    # gather width: packed mode rides bf16 channel PAIRS on int32 lanes
+    cg = c_sub // 2 if packed else c_sub
+
+    def gather_write(chunks, pos, found, k, accumulate):
+        """Gather offset ``k``'s matched columns from window ``chunks``
+        and write/accumulate gbuf rows ``[k*c_sub, (k+1)*c_sub)``."""
+        idx = jnp.broadcast_to(pos[k:k + 1], (cg, _LANE))
+        fnd = jnp.broadcast_to(found[k:k + 1], (cg, _LANE))
+        acc = jnp.zeros((cg, _LANE), chunks[0].dtype)
+        for j in range(wch):
+            within = jnp.clip(idx - j * _LANE, 0, _LANE - 1)
+            fj = jnp.take_along_axis(chunks[j], within, axis=1)
+            acc = jnp.where(((idx // _LANE) == j) & fnd, fj, acc)
+        r0 = k * c_sub
+        if packed:
+            lo, hi = _unpack_pair(acc)
+            parts = [(r0, lo), (r0 + cg, hi)]
+        else:
+            parts = [(r0, acc)]
+        for r, v in parts:
+            if accumulate:
+                gbuf_ref[r:r + cg, :] += v.astype(gbuf_ref.dtype)
+            else:
+                gbuf_ref[r:r + cg, :] = v.astype(gbuf_ref.dtype)
 
     def start_tile(tt, buf):
         for p in range(P):
@@ -261,21 +333,22 @@ def _dg_fwd_kernel(
 
     buf = jax.lax.rem(t, 2)
 
-    @pl.when(t == 0)
-    def _():
-        start_tile(0, 0)
+    if _ABLATE != "nodma":
+        @pl.when(t == 0)
+        def _():
+            start_tile(0, 0)
 
-    @pl.when(t + 1 < n_tiles)
-    def _():
-        start_tile(t + 1, jax.lax.rem(t + 1, 2))
+        @pl.when(t + 1 < n_tiles)
+        def _():
+            start_tile(t + 1, jax.lax.rem(t + 1, 2))
 
-    for p in range(P):
-        pltpu.make_async_copy(
-            ksh_hbm.at[pl.ds(0, wch)], wk_ref.at[0, p],
-            ksems.at[buf, p]).wait()
-        pltpu.make_async_copy(
-            feat_hbm.at[pl.ds(0, wch)], wf_ref.at[0, p],
-            fsems.at[buf, p]).wait()
+        for p in range(P):
+            pltpu.make_async_copy(
+                ksh_hbm.at[pl.ds(0, wch)], wk_ref.at[0, p],
+                ksems.at[buf, p]).wait()
+            pltpu.make_async_copy(
+                feat_hbm.at[pl.ds(0, wch)], wf_ref.at[0, p],
+                fsems.at[buf, p]).wait()
 
     kt = kt_ref[0, 0]
     live = kt != sentinel
@@ -307,38 +380,35 @@ def _dg_fwd_kernel(
                        if len(rows) > 1 else rows[0])
         return out
 
-    pos, found = _search_window(
-        stacked_keys([[wk_ref[buf, p, j, 0:1, :] for j in range(wch)]
-                      for p in range(P)]), probes, window)
+    if _ABLATE == "nosearch":
+        pos = jnp.broadcast_to(
+            jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1),
+            (gs, _LANE))
+        found = probes >= 0
+    else:
+        pos, found = _search_window(
+            stacked_keys([[wk_ref[buf, p, j, 0:1, :] for j in range(wch)]
+                          for p in range(P)]), probes, window)
 
-    def gather_to_gbuf(pos, found, wf_chunks_of, accumulate):
+    if _ABLATE == "nogather":
+        # fill gbuf from pos rows (garbage values, keeps the search live)
+        rep = -(-gbuf_ref.shape[0] // gs)
+        stack = jnp.concatenate(
+            [pos.astype(gbuf_ref.dtype)] * rep, axis=0)
+        gbuf_ref[:] = stack[:gbuf_ref.shape[0]]
+    else:
         for p, grp in enumerate(groups):
-            chunks = wf_chunks_of(p)   # list of [c_sub,128], loaded once
+            chunks = [wf_ref[buf, p, j] for j in range(wch)]
             for k in grp:
-                idx = jnp.broadcast_to(pos[k:k + 1], (c_sub, _LANE))
-                fnd = jnp.broadcast_to(found[k:k + 1], (c_sub, _LANE))
-                acc = jnp.zeros((c_sub, _LANE), jnp.float32)
-                for j in range(wch):
-                    within = jnp.clip(idx - j * _LANE, 0, _LANE - 1)
-                    fj = jnp.take_along_axis(chunks[j], within, axis=1)
-                    acc = jnp.where(((idx // _LANE) == j) & fnd, fj, acc)
-                r0 = k * c_sub
-                if accumulate:
-                    gbuf_ref[r0:r0 + c_sub, :] += acc.astype(
-                        gbuf_ref.dtype)
-                else:
-                    gbuf_ref[r0:r0 + c_sub, :] = acc.astype(
-                        gbuf_ref.dtype)
-
-    gather_to_gbuf(
-        pos, found,
-        lambda p: [wf_ref[buf, p, j] for j in range(wch)],
-        accumulate=False)
+                gather_write(chunks, pos, found, k, accumulate=False)
 
     # rare extra windows: per-plane serial sweep
-    mx = nw_ref[0, t]
-    for p in range(1, P):
-        mx = jnp.maximum(mx, nw_ref[p, t])
+    if _ABLATE in ("nodma", "nosweep"):
+        mx = jnp.int32(1)
+    else:
+        mx = nw_ref[0, t]
+        for p in range(1, P):
+            mx = jnp.maximum(mx, nw_ref[p, t])
 
     @pl.when(mx > 1)
     def _():
@@ -380,28 +450,19 @@ def _dg_fwd_kernel(
                     pos1, found1 = _search_window(wkS, probes, window)
                     ch1 = [wf1_ref[j] for j in range(wch)]
                     for k in grp:
-                        idx = jnp.broadcast_to(pos1[k:k + 1],
-                                               (c_sub, _LANE))
-                        fnd = jnp.broadcast_to(found1[k:k + 1],
-                                               (c_sub, _LANE))
-                        acc = jnp.zeros((c_sub, _LANE), jnp.float32)
-                        for j in range(wch):
-                            within = jnp.clip(idx - j * _LANE, 0,
-                                              _LANE - 1)
-                            fj = jnp.take_along_axis(ch1[j], within,
-                                                     axis=1)
-                            acc = jnp.where(
-                                ((idx // _LANE) == j) & fnd, fj, acc)
-                        r0 = k * c_sub
-                        gbuf_ref[r0:r0 + c_sub, :] += acc.astype(
-                            gbuf_ref.dtype)
+                        gather_write(ch1, pos1, found1, k,
+                                     accumulate=True)
             return carry
 
         jax.lax.fori_loop(1, mx, sweep, 0)
 
-    out = jnp.dot(w_ref[:], gbuf_ref[:],
-                  preferred_element_type=jnp.float32)
-    out_ref[0] = out.astype(out_ref.dtype)
+    if _ABLATE == "nogemm":
+        out_ref[0] = jnp.broadcast_to(
+            gbuf_ref[0:1, :], (k_sub, _LANE)).astype(out_ref.dtype)
+    else:
+        out = jnp.dot(w_ref[:], gbuf_ref[:],
+                      preferred_element_type=jnp.float32)
+        out_ref[0] = out.astype(out_ref.dtype)
 
 
 def _dg_conv_call(
@@ -416,7 +477,6 @@ def _dg_conv_call(
     returns the stacked [gs,128] probe array from (kt, live, coord,
     bidx).  Returns ``[N_out, K]`` in ``out_dtype``."""
     kv, c, k_ch = weight_kv.shape
-    c_sub = _round_up(c, 8)
     k_sub = _round_up(k_ch, 8)
     tile = _LANE
     n_out = tile_keys.shape[0]
@@ -425,18 +485,34 @@ def _dg_conv_call(
     _, n_pad = _n_pad_for(table_keys.shape[0], tile, window)
     n_pad = _round_up(max(n_pad, np_t), _LANE)
 
+    comp_dtype = (jnp.float32 if table_feats.dtype == jnp.float32
+                  else jnp.bfloat16)
+    packed = comp_dtype == jnp.bfloat16
+    if packed:
+        cg = pack_pairs(c)
+        c_sub = 2 * cg
+        perm_c = pair_perm(cg)
+    else:
+        c_sub = _round_up(c, 8)
+        cg = c_sub
+        perm_c = np.arange(c_sub)
+
     ksh = chunk_keys(table_keys, n_pad, sentinel_tile)
-    feat_ch = chunk_table(table_feats, n_pad, c_sub)
+    if packed:
+        feat_ch = chunk_table_packed(table_feats, n_pad, cg)
+    else:
+        feat_ch = chunk_table(table_feats, n_pad, c_sub)
     tile_keys_p = _pad_rows(tile_keys, np_t, sentinel_tile)
     keys_tiles = tile_keys_p.reshape(n_tiles, 1, tile)
 
-    comp_dtype = (jnp.float32 if table_feats.dtype == jnp.float32
-                  else jnp.bfloat16)
+    # C axis permuted to the packed unpack order ([even | odd])
     wpad = jnp.pad(weight_kv, ((0, 0), (0, c_sub - c), (0, k_sub - k_ch)))
+    wpad = wpad[:, perm_c, :]
     wflat = jnp.transpose(wpad, (2, 0, 1)).reshape(k_sub, kv * c_sub)
 
     wch = window // _LANE
     P = len(groups)
+    ftab_dtype = jnp.int32 if packed else jnp.float32
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
@@ -452,9 +528,9 @@ def _dg_conv_call(
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, P, wch, _KROWS, _LANE), jnp.int32),
-            pltpu.VMEM((2, P, wch, c_sub, _LANE), jnp.float32),
+            pltpu.VMEM((2, P, wch, cg, _LANE), ftab_dtype),
             pltpu.VMEM((wch, _KROWS, _LANE), jnp.int32),
-            pltpu.VMEM((wch, c_sub, _LANE), jnp.float32),
+            pltpu.VMEM((wch, cg, _LANE), ftab_dtype),
             pltpu.VMEM((kv * c_sub, _LANE), comp_dtype),
             pltpu.SemaphoreType.DMA((2, P)),
             pltpu.SemaphoreType.DMA((2, P)),
@@ -465,7 +541,7 @@ def _dg_conv_call(
     kernel = functools.partial(
         _dg_fwd_kernel, kv, c_sub, k_sub, vprobe_builder,
         tuple(decode_dims), sentinel_tile, groups, n_tiles, window,
-        comp_dtype,
+        comp_dtype, packed,
     )
     out = pl.pallas_call(
         kernel,
@@ -483,23 +559,24 @@ def _dg_conv_call(
 # ---------------------------------------------------------------------------
 
 def _dg_bwd_kernel(
-    kv, center, c_sub, k_sub, probe_fn, dims, sentinel, groups,
-    n_tiles, window, comp_dtype,
+    kv, c_sub, k_sub, probe_fn, dims, sentinel, groups,
+    n_tiles, window, comp_dtype, packed,
     ws_ref, nw_ref,
     kt_ref,      # [1, 1, 128] — tile keys (input rows)
-    ft_ref,      # [1, c_sub, 128] — forward features tile (wgrad operand)
-    dt_ref,      # [1, k_sub, 128] — dout tile (subm center identity)
+    ft_ref,      # [tile, c_sub] — forward features tile (wgrad operand)
     ksh_hbm,     # chunked table keys (dout side)
-    dout_hbm,    # [nc, k_sub, 128] f32 chunked dout table
-    wdg_ref,     # [c_sub, kv*k_sub] comp_dtype — blocks W[k] (dgrad)
+    dout_hbm,    # [nc, kg, 128] chunked dout table (i32 packed / f32)
+    wdg_ref,     # [c_sub, kv*k_sub] comp_dtype — W[k] blocks (dgrad),
+                 #   K-axis permuted to the unpack order when packed
     din_ref,     # [1, c_sub, 128]
-    dw_ref,      # [kv, k_sub, c_sub] f32 — dWᵀ blocks, grid-accumulated
+    dw_ref,      # [kv*k_sub, c_sub] f32 — grid-accumulated, K-permuted
     wk2_ref, wf2_ref, wk1_ref, wf1_ref, gbuf_ref,
     ksem2, fsem2, ksem1, fsem1,
 ):
     t = pl.program_id(0)
     n_planes = len(groups)
     wch = window // _LANE
+    kg = k_sub // 2 if packed else k_sub
 
     @pl.when(t == 0)
     def _():
@@ -529,14 +606,7 @@ def _dg_bwd_kernel(
             dout_hbm.at[pl.ds(c0, wch)], wf1_ref.at[buf], fsem1.at[buf],
         ).start()
 
-    ftt = jnp.transpose(ft_ref[0], (1, 0)).astype(comp_dtype)  # [128, c_sub]
-
-    if center is not None:
-        dtb = dt_ref[0].astype(comp_dtype)  # [k_sub, 128]
-        gbuf_ref[center * k_sub:(center + 1) * k_sub, :] = dtb
-        dw_ref[center] += jnp.dot(
-            dtb, ftt, preferred_element_type=jnp.float32,
-        ).astype(dw_ref.dtype)
+    ftt = ft_ref[:].astype(comp_dtype)  # [128, c_sub] (rows = voxels)
 
     for p, grp in enumerate(groups):
         s = t * n_planes + p
@@ -583,7 +653,7 @@ def _dg_bwd_kernel(
             pos, found = _search_window(wk_chunks, probes, window)
             return [
                 _gather_feat(wf_chunks, pos[i:i + 1], found[i:i + 1],
-                             k_sub)
+                             kg)
                 for i in range(len(grp))
             ]
 
@@ -602,16 +672,29 @@ def _dg_bwd_kernel(
                 dout_hbm.at[pl.ds(0, wch)], wf1_ref.at[0], fsem1.at[sb],
             ).wait()
             eo = window_pass(wk1_ref[sb], wf1_ref[sb])
+            # at most one window matches per lane and misses are exact
+            # zeros (valid for packed int32 too), so add combines windows
             return [a + e for a, e in zip(accs, eo)]
 
         outs = jax.lax.fori_loop(1, nw, extra, outs)
 
         for i, k in enumerate(grp):
-            gb = outs[i].astype(comp_dtype)  # [k_sub, 128] gathered dout
-            gbuf_ref[k * k_sub:(k + 1) * k_sub, :] = gb
-            dw_ref[k] += jnp.dot(
-                gb, ftt, preferred_element_type=jnp.float32,
-            ).astype(dw_ref.dtype)
+            if packed:
+                lo, hi = _unpack_pair(outs[i])  # [kg,128] f32 each
+                r0 = k * k_sub
+                gbuf_ref[r0:r0 + kg, :] = lo.astype(gbuf_ref.dtype)
+                gbuf_ref[r0 + kg:r0 + k_sub, :] = hi.astype(
+                    gbuf_ref.dtype)
+            else:
+                gbuf_ref[k * k_sub:(k + 1) * k_sub, :] = outs[i].astype(
+                    gbuf_ref.dtype)
+
+    # ONE fused wgrad GEMM for all kv offsets (was kv tiny matmuls —
+    # each paid full MXU pipeline latency at narrow k_sub)
+    dw_ref[:] += jnp.dot(
+        gbuf_ref[:].astype(comp_dtype), ftt,
+        preferred_element_type=jnp.float32,
+    ).astype(dw_ref.dtype)
 
     din = jnp.dot(wdg_ref[:], gbuf_ref[:],
                   preferred_element_type=jnp.float32)
@@ -620,7 +703,7 @@ def _dg_bwd_kernel(
 
 def _dg_bwd_call(
     tile_feats, tile_keys, dout_table, table_keys, weight_kv, plan_bwd,
-    *, probe_fn, decode_dims, sentinel_tile, center, groups, window,
+    *, probe_fn, decode_dims, sentinel_tile, groups, window,
     interpret=False,
 ):
     """Fused dgrad+wgrad.  Tiles run over the INPUT rows; gathers read
@@ -637,20 +720,33 @@ def _dg_bwd_call(
     n_pad = max(n_pad, np_t)
     n_pad = _round_up(n_pad, _LANE)
 
-    ksh = chunk_keys(table_keys, n_pad, sentinel_tile)
-    dout_ch = chunk_table(dout_table, n_pad, k_sub)
-    feat_ch = chunk_table(tile_feats, _round_up(np_t, _LANE), c_sub)
-    tile_keys_p = _pad_rows(tile_keys, np_t, sentinel_tile)
-    keys_tiles = tile_keys_p.reshape(n_tiles, 1, tile)
-    if center is not None:
-        dt = dout_ch[:n_tiles]
-    else:
-        dt = jnp.zeros((n_tiles, k_sub, _LANE), jnp.float32)
-
     comp_dtype = (jnp.float32 if dout_table.dtype == jnp.float32
                   else jnp.bfloat16)
-    # dgrad weights: din_tile = Σ_k W[k] [C,K] @ gathered_k [K,128]
+    packed = comp_dtype == jnp.bfloat16
+    if packed:
+        kg = pack_pairs(k_ch)
+        k_sub = 2 * kg
+        perm_k = pair_perm(kg)
+    else:
+        kg = k_sub
+        perm_k = np.arange(k_sub)
+    inv_perm_k = np.argsort(perm_k)
+
+    ksh = chunk_keys(table_keys, n_pad, sentinel_tile)
+    if packed:
+        dout_ch = chunk_table_packed(dout_table, n_pad, kg)
+    else:
+        dout_ch = chunk_table(dout_table, n_pad, k_sub)
+    feat_p = _pad_lanes(
+        _pad_rows(tile_feats, np_t, 0), c_sub).astype(
+            comp_dtype if packed else tile_feats.dtype)
+    tile_keys_p = _pad_rows(tile_keys, np_t, sentinel_tile)
+    keys_tiles = tile_keys_p.reshape(n_tiles, 1, tile)
+
+    # dgrad weights: din_tile = Σ_k W[k] [C,K] @ gathered_k [K,128];
+    # K axis permuted to the packed unpack order ([even | odd])
     wpad = jnp.pad(weight_kv, ((0, 0), (0, c_sub - c), (0, k_sub - k_ch)))
+    wpad = wpad[:, :, perm_k]
     wdg = jnp.transpose(wpad, (1, 0, 2)).reshape(c_sub, kv * k_sub)
 
     wch = window // _LANE
@@ -660,9 +756,7 @@ def _dg_bwd_call(
         in_specs=[
             pl.BlockSpec((1, 1, tile), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c_sub, _LANE), lambda t, *_: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k_sub, _LANE), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((tile, c_sub), lambda t, *_: (t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -671,14 +765,16 @@ def _dg_bwd_call(
         out_specs=[
             pl.BlockSpec((1, c_sub, _LANE), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((kv, k_sub, c_sub), lambda t, *_: (0, 0, 0),
+            pl.BlockSpec((kv * k_sub, c_sub), lambda t, *_: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, wch, _KROWS, _LANE), jnp.int32),
-            pltpu.VMEM((2, wch, k_sub, _LANE), jnp.float32),
+            pltpu.VMEM((2, wch, kg, _LANE),
+                       jnp.int32 if packed else jnp.float32),
             pltpu.VMEM((2, wch, _KROWS, _LANE), jnp.int32),
-            pltpu.VMEM((2, wch, k_sub, _LANE), jnp.float32),
+            pltpu.VMEM((2, wch, kg, _LANE),
+                       jnp.int32 if packed else jnp.float32),
             pltpu.VMEM((kv * k_sub, _LANE), comp_dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -687,9 +783,9 @@ def _dg_bwd_call(
         ],
     )
     kernel = functools.partial(
-        _dg_bwd_kernel, kv, center, c_sub, k_sub, probe_fn,
+        _dg_bwd_kernel, kv, c_sub, k_sub, probe_fn,
         tuple(decode_dims), sentinel_tile, groups, n_tiles, window,
-        comp_dtype,
+        comp_dtype, packed,
     )
     din, dwt = pl.pallas_call(
         kernel,
@@ -697,13 +793,16 @@ def _dg_bwd_call(
         out_shape=[
             jax.ShapeDtypeStruct((n_tiles, c_sub, _LANE),
                                  tile_feats.dtype),
-            jax.ShapeDtypeStruct((kv, k_sub, c_sub), jnp.float32),
+            jax.ShapeDtypeStruct((kv * k_sub, c_sub), jnp.float32),
         ],
         interpret=interpret,
-    )(plan_bwd.ws, plan_bwd.nw, keys_tiles, feat_ch[:n_tiles], dt, ksh,
+    )(plan_bwd.ws, plan_bwd.nw, keys_tiles, feat_p, ksh,
       dout_ch, wdg.astype(comp_dtype))
     din2 = unchunk_out(din, n_in, c)
-    dw = jnp.transpose(dwt, (0, 2, 1))[:, :c, :k_ch]  # [kv, C, K]
+    # undo the packed K permutation; dwt rows are [kv, k_sub(perm)]
+    dw = jnp.transpose(
+        dwt.reshape(kv, k_sub, c_sub)[:, inv_perm_k, :],
+        (0, 2, 1))[:, :c, :k_ch]  # [kv, C, K]
     return din2, dw
 
 
@@ -761,7 +860,7 @@ def _dg_conv_bwd(geom, res, g):
         features, keys, g, keys, weight_kv, plan_bwd,
         probe_fn=_probe_shift_fn(rev, geom.dims),
         decode_dims=geom.dims, sentinel_tile=geom.sentinel,
-        center=None, groups=geom.groups, window=geom.window,
+        groups=geom.groups, window=geom.window,
         interpret=geom.interpret,
     )
     zf = jax.dtypes.float0
@@ -894,7 +993,7 @@ def _dg_reg_conv_bwd(geom, res, g):
             features, in_keys, g, out_keys, weight_kv, plan_oi,
             probe_fn=_probe_divide_fn(geom.stride, disp, geom.out_dims),
             decode_dims=geom.in_dims, sentinel_tile=geom.sent_in,
-            center=None, groups=geom.groups, window=geom.window,
+            groups=geom.groups, window=geom.window,
             interpret=geom.interpret,
         )
     else:
@@ -902,7 +1001,7 @@ def _dg_reg_conv_bwd(geom, res, g):
             features, out_keys, g, in_keys, weight_kv, plan_io,
             probe_fn=_probe_affine_fn(geom.stride, disp, geom.in_dims),
             decode_dims=geom.out_dims, sentinel_tile=geom.sent_out,
-            center=None, groups=geom.groups, window=geom.window,
+            groups=geom.groups, window=geom.window,
             interpret=geom.interpret,
         )
     zf = jax.dtypes.float0

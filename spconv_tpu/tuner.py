@@ -101,13 +101,16 @@ class ConvTuner:
     # -- algorithm selection (parity: ConvAlgo auto-pick, conv.py:110-125)
     def select_algo(self, *, subm: bool, sk_supported: bool, n: int,
                     c: int, k: int, kv: int, dtype: str,
-                    backend: Optional[str] = None) -> str:
+                    backend: Optional[str] = None,
+                    dg_supported: bool = False) -> str:
         """Resolve ``algo=None``/"auto" to a concrete algorithm.
 
         The reference auto-picks MaskImplicitGemm for kv<=32 and Native
-        otherwise (``conv.py:110-125``).  Here: the fused sorted-key
-        kernel for supported subm convs on TPU (it beats gather+einsum by
-        ~4x at bench sizes and skips pair-gen entirely), the chunked
+        otherwise (``conv.py:110-125``).  Here: the dynamic-gather (DG)
+        search+gather kernel when the input is statically key-sorted
+        (beats the one-hot SK kernel at every measured width — gather
+        cost scales with C, not the 128-lane pad); the SK kernel when
+        only dynamic-fallback routing is possible; the chunked
         gather+einsum path otherwise.  A cached tuned winner, when
         present, overrides the heuristic."""
         self._load()
@@ -115,17 +118,18 @@ class ConvTuner:
         cached = self._cache.get(kk)
         if cached and "algo" in cached:
             algo = cached["algo"]
-            if algo != "sk" or sk_supported:
+            if ((algo != "sk" or sk_supported)
+                    and (algo != "dg" or dg_supported)):
                 return algo
         import jax
 
         backend = backend or jax.default_backend()
-        if (
-            sk_supported
-            and backend != "cpu"
-            and dtype in ("bfloat16", "float16")
-        ):
-            return "sk"
+        if backend != "cpu":
+            if dg_supported and dtype in ("bfloat16", "float16",
+                                          "float32"):
+                return "dg"
+            if sk_supported and dtype in ("bfloat16", "float16"):
+                return "sk"
         return "native"
 
     def cache_algo(self, *, n: int, c: int, k: int, kv: int, dtype: str,

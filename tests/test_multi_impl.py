@@ -68,7 +68,8 @@ def _clone_weights(dst: _Net, src: _Net):
             a.bias = b.bias
 
 
-def test_multi_impl_deep_net(rng):
+@pytest.mark.parametrize("alt_algo", ["sk", "dg"])
+def test_multi_impl_deep_net(rng, alt_algo):
     shape = (13, 21, 21)
     c_in = 8
     feats, inds = _sorted_input(rng, shape, 500, c_in, 640)
@@ -76,7 +77,7 @@ def test_multi_impl_deep_net(rng):
                                     keys_sorted=True)
 
     net_nat = _Net(c_in, "native", jax.random.PRNGKey(7))
-    net_sk = _Net(c_in, "sk", jax.random.PRNGKey(7))
+    net_sk = _Net(c_in, alt_algo, jax.random.PRNGKey(7))
     _clone_weights(net_sk, net_nat)
 
     y_nat = net_nat(x)

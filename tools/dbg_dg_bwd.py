@@ -47,7 +47,7 @@ def loss_dg(f, wv):
     o, _, _ = dg_regular_conv(
         f, in_keys, out_keys_s, wv, in_shape=ss, out_shape=out_shape,
         batch_size=1, stride=stride, padding=pad, dilation=(1,)*len(ss),
-        interpret=True)
+        window=128, interpret=True)
     return jnp.sum(o ** 2), o
 
 

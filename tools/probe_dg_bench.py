@@ -85,6 +85,19 @@ def main():
         r2 = run_case(f"SK subm C=K={c}", chain_sk, feats, w)
         print(f"  sums: dg={float(r1):.1f} sk={float(r2):.1f}")
 
+        # elementwise agreement (sums are cancellation-dominated)
+        o_dg = jax.jit(lambda f, w_: dg_subm_conv(
+            f, keys_j, w_, spatial_shape=ss, batch_size=1,
+            dilation=(1, 1, 1)))(feats, w)
+        o_sk = jax.jit(lambda f, w_: sk_subm_conv(
+            f, inds_j, keys_j, w_, spatial_shape=ss, batch_size=1,
+            dilation=(1, 1, 1), fallback=False))(feats, w)
+        d = np.abs(np.asarray(o_dg, np.float64) -
+                   np.asarray(o_sk, np.float64))
+        scale = np.abs(np.asarray(o_sk, np.float64)).max()
+        print(f"  elementwise: max|dg-sk|={d.max():.4f} "
+              f"rel={d.max()/max(scale,1e-9):.2e} scale={scale:.1f}")
+
         # backward (fused dgrad+wgrad)
         def chain_dg_bwd(f0, w_):
             def loss(f, wv):
