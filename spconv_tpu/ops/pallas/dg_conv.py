@@ -352,8 +352,11 @@ def _dg_fwd_kernel(
 
     kt = kt_ref[0, 0]
     live = kt != sentinel
-    coord, bidx = _probe_coords(kt, dims)
-    probes = vprobe_fn(kt, live, coord, bidx, ptab_ref[:])  # [gs, 128]
+    if _ABLATE == "noprobe":
+        probes = jnp.broadcast_to(kt.reshape(1, _LANE), (gs, _LANE))
+    else:
+        coord, bidx = _probe_coords(kt, dims)
+        probes = vprobe_fn(kt, live, coord, bidx, ptab_ref[:])  # [gs, 128]
 
     # rows of a plane whose window is absent match nothing.  Built with
     # iota + scalar selects: Mosaic rejects concatenation of i1 vectors
@@ -380,7 +383,7 @@ def _dg_fwd_kernel(
                        if len(rows) > 1 else rows[0])
         return out
 
-    if _ABLATE == "nosearch":
+    if _ABLATE in ("nosearch", "bare"):
         pos = jnp.broadcast_to(
             jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1),
             (gs, _LANE))
@@ -390,7 +393,7 @@ def _dg_fwd_kernel(
             stacked_keys([[wk_ref[buf, p, j, 0:1, :] for j in range(wch)]
                           for p in range(P)]), probes, window)
 
-    if _ABLATE == "nogather":
+    if _ABLATE in ("nogather", "bare"):
         # fill gbuf from pos rows (garbage values, keeps the search live)
         rep = -(-gbuf_ref.shape[0] // gs)
         stack = jnp.concatenate(
@@ -403,7 +406,7 @@ def _dg_fwd_kernel(
                 gather_write(chunks, pos, found, k, accumulate=False)
 
     # rare extra windows: per-plane serial sweep
-    if _ABLATE in ("nodma", "nosweep"):
+    if _ABLATE in ("nodma", "nosweep", "bare"):
         mx = jnp.int32(1)
     else:
         mx = nw_ref[0, t]

@@ -58,8 +58,9 @@ print(f"RESULT {{(t2-t1)/REP*1e3:.3f}} ms/iter (compile {{t1-t0:.0f}}s)")
 
 def main():
     c = int(sys.argv[1]) if len(sys.argv) > 1 else 16
-    for ablate in ["", "nosweep", "nosearch", "nogather", "nogemm",
-                   "nodma"]:
+    which = sys.argv[2].split(",") if len(sys.argv) > 2 else [
+        "", "nosweep", "nosearch", "nogather", "nogemm", "nodma"]
+    for ablate in which:
         env = dict(os.environ)
         if ablate:
             env["SPCONV_DG_ABLATE"] = ablate

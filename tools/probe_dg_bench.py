@@ -72,6 +72,27 @@ def main():
                 return jnp.sum(o.astype(jnp.float32))
             return jax.lax.fori_loop(0, REP, body, jnp.float32(0))
 
+        # steady-state module path: plans cached per indice_key
+        from spconv_tpu.ops.pallas.sorted_conv import (
+            _n_pad_for, _pad_rows, build_sk_plans, sk_groups,
+            subm_key_deltas)
+        deltas_np, _disp = subm_key_deltas((3, 3, 3), (1, 1, 1), ss)
+        groups = sk_groups((3, 3, 3), include_center=True)
+        sent = int(np.prod(ss))
+        np_t, n_pad = _n_pad_for(inds.shape[0], 128, 384)
+        plans_c = jax.jit(lambda kk: build_sk_plans(
+            _pad_rows(kk, np_t, sent), sent, deltas_np, groups,
+            tile=128, window=384, n_pad=n_pad, align=128))(keys_j)
+
+        def chain_dg_cached(f0, w_):
+            def body(i, acc):
+                f = f0 * (1.0 + 0.0 * acc).astype(f0.dtype)
+                o = dg_subm_conv(f, keys_j, w_, spatial_shape=ss,
+                                 batch_size=1, dilation=(1, 1, 1),
+                                 plans=plans_c)
+                return jnp.sum(o.astype(jnp.float32))
+            return jax.lax.fori_loop(0, REP, body, jnp.float32(0))
+
         def chain_sk(f0, w_):
             def body(i, acc):
                 f = f0 * (1.0 + 0.0 * acc).astype(f0.dtype)
@@ -82,6 +103,8 @@ def main():
             return jax.lax.fori_loop(0, REP, body, jnp.float32(0))
 
         r1 = run_case(f"DG subm C=K={c}", chain_dg, feats, w)
+        run_case(f"DG subm cached-plans C=K={c}", chain_dg_cached,
+                 feats, w)
         r2 = run_case(f"SK subm C=K={c}", chain_sk, feats, w)
         print(f"  sums: dg={float(r1):.1f} sk={float(r2):.1f}")
 
