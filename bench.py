@@ -14,8 +14,8 @@ basic fwd 13.02 ms / bwd 12.43 ms; large fwd 19.85 ms / bwd 31.24 ms;
 CenterPoint north star ≤5 ms/scan.  vs_baseline = baseline / ours.
 
 Flags:
-  --algo=auto|native|sk|block  compute path (default: auto — tuner-resolved;
-                        on TPU subm convs run the fused sorted-key kernel)
+  --algo=auto|native|sk|dg  compute path (default: auto — tuner-resolved;
+                        key-sorted TPU tensors run the dynamic-gather kernel)
   --only=basic|large|cp|int8 run a single section (debugging)
   --skip-bwd            skip backward measurements
 """
@@ -67,7 +67,7 @@ def run_bench_net(large, algo, do_bwd, floor_ms):
     import spconv_tpu
     from spconv_tpu.benchmark.basic import (
         BenchNet, load_basic_data, load_large_data, make_bench_input,
-        measure_block_bounds, measure_pool_bounds)
+        measure_pool_bounds)
 
     tag = "large" if large else "basic"
     dtype = jnp.bfloat16
@@ -86,21 +86,10 @@ def run_bench_net(large, algo, do_bwd, floor_ms):
 
     pool_bounds = _cached_bounds(f".bench_pool_bounds{'_large' if large else ''}.json", pool_fn)
 
-    brick_bounds = None
-    if algo == "block":
-        def brick_fn():
-            x32 = make_bench_input(voxels, coors, spatial_shape,
-                                   dtype=jnp.float32)
-            return measure_block_bounds(spatial_shape, x32)
-
-        brick_bounds = _cached_bounds(
-            f".bench_block_bounds{'_large' if large else ''}.json", brick_fn)
-    print(f"[{tag}] pool bounds {pool_bounds} brick bounds {brick_bounds}",
-          file=sys.stderr, flush=True)
+    print(f"[{tag}] pool bounds {pool_bounds}", file=sys.stderr, flush=True)
 
     net = BenchNet(spatial_shape, dtype=dtype, pool_bounds=pool_bounds,
-                   algo=None if algo == "auto" else algo,
-                   brick_bounds=brick_bounds)
+                   algo=None if algo == "auto" else algo)
 
     REP = 10
 

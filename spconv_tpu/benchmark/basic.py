@@ -36,20 +36,11 @@ def _round_bucket(n: int, mult: int = 1024) -> int:
 
 
 class BenchNet(spconv_tpu.Module):
-    """The reference benchmark net with per-stage static buffer buckets.
-
-    ``algo="block"`` runs the whole net on the block-dense (brick) path:
-    the input is packed once, pools repack at half resolution, every conv
-    is a dense MXU conv with halo exchange (``ops/brick.py``).
-    ``brick_bounds`` are the per-stage static brick counts (7 entries:
-    input + after each pool), measured by :func:`measure_block_bounds`.
-    """
+    """The reference benchmark net with per-stage static buffer buckets."""
 
     def __init__(self, shape: Sequence[int], dtype=jnp.float32,
                  pool_bounds: Optional[List[int]] = None,
                  algo: Optional[str] = None,
-                 brick_bounds: Optional[List[int]] = None,
-                 brick_shape=(2, 2, 2),
                  key=None):
         key = key if key is not None else jax.random.PRNGKey(0)
         ks = jax.random.split(key, 16)
@@ -57,18 +48,13 @@ class BenchNet(spconv_tpu.Module):
                  256, 256]
         self.shape = tuple(int(s) for s in shape)
         self.algo = algo
-        self.brick_bounds = tuple(brick_bounds) if brick_bounds else None
-        self.brick_shape = tuple(brick_shape)
         convs = []
         for i in range(14):
-            bb = None
-            if self.brick_bounds and i == 0:
-                bb = self.brick_bounds[0]
             convs.append(
                 spconv_tpu.SubMConv3d(
                     chans[i], chans[i + 1], 3, bias=False,
                     indice_key=f"c{i // 2}", dtype=dtype, key=ks[i],
-                    algo=algo, brick_shape=self.brick_shape, brick_bound=bb,
+                    algo=algo,
                 )
             )
         self.convs = convs
@@ -76,11 +62,9 @@ class BenchNet(spconv_tpu.Module):
         pools = []
         for i in range(6):
             ob = self.pool_bounds[i] if self.pool_bounds else None
-            bb = self.brick_bounds[i + 1] if self.brick_bounds else None
             pools.append(
                 spconv_tpu.SparseMaxPool3d(2, 2, out_bound=ob,
-                                           out_bound_ratio=1.0,
-                                           brick_bound=bb)
+                                           out_bound_ratio=1.0)
             )
         self.pools = pools
 
@@ -142,35 +126,6 @@ def make_bench_input(voxels, coors, spatial_shape, dtype=jnp.float32,
         jnp.asarray(feats, dtype=dtype), jnp.asarray(inds), spatial_shape, 1,
         keys_sorted=True,
     )
-
-
-def measure_block_bounds(shape, x: SparseConvTensor,
-                         brick_shape=(2, 2, 2)) -> List[int]:
-    """Size the per-stage brick tables (7 entries: input packing + after
-    each of the 6 pools), 5% margin, 128-aligned.
-
-    Brick counts depend only on the *active-site set* — subm convs
-    preserve it, only packing and pools change it — so the sizing pass
-    runs on 1-channel occupancy features and never materializes hull
-    buffers (running the full convs eagerly OOMs at 900k voxels)."""
-    from spconv_tpu.ops import brick as B
-
-    def bound_of(t):
-        meta = B.find_brick_meta(t)
-        nb = int(meta.num_bricks)
-        return max(128, -(-int(nb * 1.05) // 128) * 128)
-
-    occ = SparseConvTensor(
-        jnp.ones((x.indices.shape[0], 1), jnp.float32), x.indices,
-        x.spatial_shape, x.batch_size,
-    )
-    t = B.pack_tensor(occ, brick_shape=brick_shape)
-    bounds = [bound_of(t)]
-    for _ in range(6):
-        meta = B.find_brick_meta(t)
-        t = B.brick_pool(t, meta, mode="max")
-        bounds.append(bound_of(t))
-    return bounds
 
 
 def measure_pool_bounds(shape, x: SparseConvTensor) -> List[int]:

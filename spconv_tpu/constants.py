@@ -25,7 +25,7 @@ SPCONV_OUT_BOUND_RATIO = float(os.getenv("SPCONV_TPU_OUT_BOUND_RATIO", "2.0"))
 
 # algo selection: "native" (gather-einsum) for now; future: "implicit_gemm"
 # layer default when algo is not given: "auto" resolves per call via
-# the tuner; set SPCONV_TPU_ALGO=native/sk/block to force one globally
+# the tuner; set SPCONV_TPU_ALGO=native/sk/dg to force one globally
 SPCONV_DEFAULT_ALGO = os.getenv("SPCONV_TPU_ALGO", "auto")
 
 # directory for the tuner's on-disk cache (parity: spconv's tuner cache)

@@ -75,8 +75,6 @@ class SparseConvolution(Module):
         act_type: str = "none",
         act_alpha: float = 0.0,
         act_beta: float = 0.0,
-        brick_shape: Optional[Sequence[int]] = None,
-        brick_bound: Optional[int] = None,
         dtype=jnp.float32,
         key=None,
         name: Optional[str] = None,
@@ -117,8 +115,6 @@ class SparseConvolution(Module):
         self.act_type = act_type
         self.act_alpha = act_alpha
         self.act_beta = act_beta
-        self.brick_shape = tuple(brick_shape) if brick_shape else None
-        self.brick_bound = brick_bound
         self.name = name
         if subm:
             assert all(k % 2 == 1 for k in self.kernel_size), \
@@ -231,15 +227,6 @@ class SparseConvolution(Module):
                 k=self.out_channels, kv=kv, dtype=str(features.dtype),
             )
 
-        if (
-            algo == "block"
-            and 1 <= self.ndim <= 3
-            and not self.transposed
-            and not self.inverse
-            and not self.conv1x1
-        ):
-            return self._call_block(input, add_input)
-
         if algo == "dg" and self._dg_supported(input):
             if self.subm:
                 return self._call_dg(input, add_input)
@@ -248,7 +235,7 @@ class SparseConvolution(Module):
             return self._call_sk(input, add_input)
         if algo == "sk" and self._sk_reg_supported(input):
             return self._call_sk_regular(input, add_input)
-        if algo in ("sk", "dg", "block"):
+        if algo in ("sk", "dg"):
             # requested specialized path not applicable here — use the
             # native gather path for the compute
             algo = "native"
@@ -1015,68 +1002,6 @@ class SparseConvolution(Module):
             out.indice_dict[ck] = new_rec
         return out
 
-    def _call_block(
-        self,
-        input: SparseConvTensor,
-        add_input: Optional[SparseConvTensor] = None,
-    ) -> SparseConvTensor:
-        """Block-dense submanifold path (see ``ops/brick.py``): pack the
-        stage into bricks once, then run dense MXU convs with halo
-        exchange — no per-row gathers."""
-        from ..ops import brick as B
-
-        x = input
-        meta = B.find_brick_meta(x)
-        if meta is None:
-            x = B.pack_tensor(
-                input,
-                brick_shape=self.brick_shape,
-                # for strided convs brick_bound sizes the OUTPUT table
-                nb_bound=self.brick_bound if self.subm else None,
-            )
-            meta = B.find_brick_meta(x)
-        if not self.subm:
-            # strided/regular conv: hull-assembled stride GEMM + repack at
-            # the output resolution (ops/brick.py brick_downsample_conv)
-            # for a strided conv, brick_bound sizes the OUTPUT brick table
-            # (like out_bound on the native path)
-            out = B.brick_downsample_conv(
-                x, meta, self.weight, None, self.stride, self.padding,
-                self.dilation, fp32_accum=self.fp32_accum,
-                nb_bound=self.brick_bound,
-            )
-            active = out.indices[:, 0] >= 0
-            out_feat = bias_add_act(
-                out.features, self.bias, self.act_type, self.act_alpha,
-                self.act_beta,
-                add_input.features if add_input is not None else None,
-            )
-            out.features = jnp.where(active[:, None], out_feat, 0)
-            from ..calibrate import _maybe_record
-
-            _maybe_record(self, out.num_voxels)
-            return out
-        active = x.indices[:, 0] >= 0
-        out_feat = B.brick_subm_conv(
-            x.features, active, meta, self.weight, self.dilation,
-            fp32_accum=self.fp32_accum,
-        )
-        out_feat = bias_add_act(
-            out_feat, self.bias, self.act_type, self.act_alpha, self.act_beta,
-            add_input.features if add_input is not None else None,
-        )
-        out_feat = jnp.where(active[:, None], out_feat, 0)
-        out = SparseConvTensor(
-            out_feat,
-            x.indices,
-            x.spatial_shape,
-            x.batch_size,
-            num_voxels=x.num_voxels,
-            indice_dict=dict(x.indice_dict),
-            benchmark=x.benchmark,
-        )
-        return out
-
     def __repr__(self):
         kind = (
             "SubMConv" if self.subm
@@ -1097,8 +1022,7 @@ def _make_variant(n, *, subm=False, transposed=False, inverse=False):
         stride=1, padding=0, dilation=1, groups=1, bias=True,
         indice_key=None, algo=None, fp32_accum=None, output_padding=0,
         out_bound=None, out_bound_ratio=2.0, act_type="none", act_alpha=0.0,
-        act_beta=0.0, brick_shape=None, brick_bound=None, dtype=jnp.float32,
-        key=None, name=None,
+        act_beta=0.0, dtype=jnp.float32, key=None, name=None,
     ):
         if inverse:
             assert indice_key is not None, "inverse conv requires indice_key"
@@ -1109,8 +1033,7 @@ def _make_variant(n, *, subm=False, transposed=False, inverse=False):
             transposed=transposed, inverse=inverse, indice_key=indice_key,
             algo=algo, fp32_accum=fp32_accum, out_bound=out_bound,
             out_bound_ratio=out_bound_ratio, act_type=act_type,
-            act_alpha=act_alpha, act_beta=act_beta, brick_shape=brick_shape,
-            brick_bound=brick_bound, dtype=dtype, key=key,
+            act_alpha=act_alpha, act_beta=act_beta, dtype=dtype, key=key,
             name=name,
         )
 

@@ -40,7 +40,6 @@ class _SparsePoolBase(Module):
         algo: Optional[str] = None,
         out_bound: Optional[int] = None,
         out_bound_ratio: float = 1.0,
-        brick_bound: Optional[int] = None,
         name: Optional[str] = None,
     ):
         self.ndim = ndim
@@ -58,7 +57,6 @@ class _SparsePoolBase(Module):
         self.algo = algo or "native"
         self.out_bound = out_bound
         self.out_bound_ratio = out_bound_ratio
-        self.brick_bound = brick_bound
         self.name = name
 
     def _resolve_out_bound(self, n_in: int) -> int:
@@ -89,24 +87,6 @@ class _SparsePoolBase(Module):
 
     def _forward(self, input: SparseConvTensor) -> SparseConvTensor:
         assert isinstance(input, SparseConvTensor)
-        if (
-            not self.subm
-            and self.kernel_size == (2,) * self.ndim
-            and self.stride == (2,) * self.ndim
-            and self.padding == (0,) * self.ndim
-            and self.dilation == (1,) * self.ndim
-        ):
-            # block path: brick-local 2× pooling + repack (ops/brick.py)
-            from ..ops import brick as B
-
-            meta = B.find_brick_meta(input)
-            if meta is not None and all(
-                b % 2 == 0 for b in meta.brick_shape
-            ):
-                return B.brick_pool(
-                    input, meta, mode=self._mode,
-                    nb_bound=self.brick_bound,
-                )
         if (
             not self.subm
             and self.kernel_size == (2,) * self.ndim
@@ -244,10 +224,10 @@ def _pool_variant(n, mode):
     class _Pool(base):
         def __init__(self, kernel_size=3, stride=1, padding=0, dilation=1,
                      indice_key=None, subm=False, algo=None, out_bound=None,
-                     out_bound_ratio=1.0, brick_bound=None, name=None):
+                     out_bound_ratio=1.0, name=None):
             base.__init__(self, n, kernel_size, stride, padding, dilation,
                           indice_key, subm, algo, out_bound, out_bound_ratio,
-                          brick_bound, name)
+                          name)
 
     return _Pool
 

@@ -181,16 +181,9 @@ def wgrad_gather_mm(
 @partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def _indice_conv_core(features, weight_kv, pair_fwd, pair_bwd, subm_center,
                       fp32_accum, algo):
-    if algo is not None and algo.startswith("implicit_gemm"):
-        # Pallas masked implicit-GEMM forward (ops/pallas/implicit_gemm.py);
-        # backward stays on the gather paths below.
-        from .pallas.implicit_gemm import implicit_gemm as _pl_igemm
-
-        parts = algo.split(":")
-        tile = int(parts[1]) if len(parts) > 1 else 512
-        window = int(parts[2]) if len(parts) > 2 else 512
-        return _pl_igemm(features, weight_kv, pair_fwd, tile=tile,
-                         window=window, fallback=True)
+    # (round 3: the pair-table Pallas implicit-GEMM variant was deleted —
+    # superseded by the rulebook-free SK/DG kernel families; see
+    # DESIGN_NOTES "Round 3 — settling the variant matrix")
     accum = jnp.float32 if fp32_accum else features.dtype
     return gather_mm(features, weight_kv, pair_fwd, subm_center, accum)
 
@@ -242,8 +235,7 @@ def indice_conv(
     layout the reference supports in 2.2+ (``conv.py:129-139``,
     ``constants.py:42``).
 
-    ``algo``: None/"native" = chunked gather+einsum;
-    "implicit_gemm[:TILE[:WINDOW]]" = Pallas masked implicit-GEMM forward.
+    ``algo``: None/"native" = chunked gather+einsum.
     """
     k_out = weight.shape[0]
     c_in = weight.shape[-1]

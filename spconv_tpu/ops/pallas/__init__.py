@@ -1,1 +1,2 @@
-from .implicit_gemm import build_igemm_plan, igemm_tile_matmul, implicit_gemm
+"""TPU Pallas kernels: the sorted-key (SK) one-hot family and the
+dynamic-gather (DG) search+gather family."""
