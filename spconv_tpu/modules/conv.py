@@ -217,15 +217,29 @@ class SparseConvolution(Module):
             # STATICALLY known (keys_sorted) — then no lax.cond fallback
             # branch is compiled.  Explicit algo="sk" on an unflagged
             # tensor still works through the dynamic fallback.
-            algo = CONV_TUNER.select_algo(
-                subm=self.subm,
-                sk_supported=(
-                    (self._sk_supported(input) and input.keys_sorted)
-                    or self._sk_reg_supported(input)),
-                dg_supported=self._dg_supported(input),
-                n=int(indices.shape[0]), c=self.in_channels,
-                k=self.out_channels, kv=kv, dtype=str(features.dtype),
-            )
+            sk_ok = ((self._sk_supported(input) and input.keys_sorted)
+                     or self._sk_reg_supported(input))
+            dg_ok = self._dg_supported(input)
+            sig = dict(n=int(indices.shape[0]), c=self.in_channels,
+                       k=self.out_channels, kv=kv,
+                       dtype=str(features.dtype))
+            if (
+                CONV_TUNER.tune_enabled
+                and not isinstance(features, jax.core.Tracer)
+                and not CONV_TUNER.has_algo(**sig)
+            ):
+                # tune-on-first-call: measure every supported candidate
+                # on the live tensor, cache the winner (reference
+                # ConvTunerSimple semantics, convops.py:1283-1301)
+                cands = ["native"] + (["sk"] if sk_ok else []) \
+                    + (["dg"] if dg_ok else [])
+                algo = CONV_TUNER.tune_conv_algo(self, input, cands,
+                                                 **sig)
+            else:
+                algo = CONV_TUNER.select_algo(
+                    subm=self.subm, sk_supported=sk_ok,
+                    dg_supported=dg_ok, **sig,
+                )
 
         if algo == "dg" and self._dg_supported(input):
             if self.subm:

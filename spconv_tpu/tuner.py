@@ -143,6 +143,50 @@ class ConvTuner:
                              dtype)] = rec
         self._save()
 
+    def has_algo(self, *, n: int, c: int, k: int, kv: int,
+                 dtype: str) -> bool:
+        self._load()
+        rec = self._cache.get(self.key("algo", self.bucket_n(n), c, k,
+                                       kv, dtype))
+        return bool(rec and "algo" in rec)
+
+    @property
+    def tune_enabled(self) -> bool:
+        """Tune-on-first-call mode (reference: ConvTunerSimple profiles
+        candidates on the live shapes at first dispatch and caches the
+        winner, ``convops.py:1283-1301``).  Off by default — each
+        candidate pays a compile; enable for a tuning run with
+        ``SPCONV_TPU_TUNE=1`` or ``CONV_TUNER.force_tune = True``."""
+        return getattr(self, "force_tune", False) or (
+            os.environ.get("SPCONV_TPU_TUNE", "0") == "1")
+
+    def tune_conv_algo(self, module, input, candidates, *, n, c, k, kv,
+                       dtype, timer=None) -> str:
+        """Measure each candidate algo of ``module`` on the LIVE input
+        tensor, cache and return the winner.  ``timer`` overrides the
+        device measurement (tests)."""
+        from .tools import benchmark_model
+
+        import copy
+
+        results = {}
+        for a in candidates:
+            m = copy.copy(module)
+            m.algo = a
+            try:
+                if timer is not None:
+                    results[a] = timer(a)
+                else:
+                    results[a] = benchmark_model(
+                        lambda f, m=m: m(input.replace_feature(f)).features,
+                        (input.features,), rep=4, n_outer=2)
+            except Exception:  # noqa: BLE001 — candidate may not compile
+                results[a] = float("inf")
+        winner = min(results, key=results.get)
+        self.cache_algo(n=n, c=c, k=k, kv=kv, dtype=dtype, algo=winner,
+                        ms=results[winner])
+        return winner
+
     def tune_conv_chunk(self, features, weight_kv, pair_fwd, subm_center,
                         chunks=(3, 9, 14, 27)) -> dict:
         """Tune the gather-chunk width of the conv compute on real data."""

@@ -125,3 +125,57 @@ def test_default_algo_is_auto(rng):
 
     conv = spconv_tpu.SubMConv3d(4, 8, 3)
     assert conv.algo == "auto"
+
+
+def test_tune_on_first_call(tmp_path, rng, monkeypatch):
+    """Tune mode measures every supported candidate on the live tensor
+    at first dispatch and caches the winner (reference ConvTunerSimple
+    semantics); subsequent auto resolution uses the cached winner."""
+    import jax
+    import jax.numpy as jnp
+
+    import spconv_tpu
+    from spconv_tpu import tuner as tuner_mod
+    from utils import generate_sparse_data, pad_sparse
+
+    t = tuner_mod.ConvTuner(cache_dir=str(tmp_path))
+    t.force_tune = True
+    # conv._forward imports CONV_TUNER from spconv_tpu.tuner per call
+    monkeypatch.setattr(tuner_mod, "CONV_TUNER", t)
+
+    shape = (9, 10, 11)
+    feats, inds = generate_sparse_data(shape, 150, 6, batch_size=1,
+                                       rng=rng)
+    feats_p, inds_p = pad_sparse(feats, inds, 256)
+    key = inds_p[:, 0].astype(np.int64)
+    for a, s in enumerate(shape):
+        key = key * s + inds_p[:, a + 1]
+    order = np.argsort(np.where(inds_p[:, 0] >= 0, key, 2**62),
+                       kind="stable")
+    x = spconv_tpu.SparseConvTensor(
+        jnp.asarray(feats_p[order]), jnp.asarray(inds_p[order]), shape, 1,
+        keys_sorted=True)
+
+    m = spconv_tpu.SubMConv3d(6, 8, 3, algo="auto",
+                              key=jax.random.PRNGKey(0))
+
+    measured = []
+    real_tune = t.tune_conv_algo
+
+    def fake_tune(module, inp, candidates, **sig):
+        measured.extend(candidates)
+        return real_tune(module, inp, candidates,
+                         timer=lambda a: {"native": 1.0, "sk": 9.0,
+                                          "dg": 9.0}[a], **sig)
+
+    t.tune_conv_algo = fake_tune
+    m(x)  # eager first call → tunes
+    assert "native" in measured
+    # winner cached: auto resolution now returns it without measuring
+    assert t.select_algo(subm=True, sk_supported=True, dg_supported=True,
+                         n=256, c=6, k=8, kv=27,
+                         dtype="float32") == "native"
+    # under jit (tracing) the tuner must NOT try to measure
+    t.tune_conv_algo = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("tuned under trace"))
+    jax.jit(lambda f: m(x.replace_feature(f)).features)(x.features)
