@@ -58,9 +58,9 @@ def main():
     rs = np.random.RandomState(0)
 
     for c in ([16, 64, 128] if WHICH == "all" else [int(WHICH)]):
-        feats = jnp.asarray(
-            rs.randn(inds.shape[0], c).astype(np.float32),
-            dtype=jnp.bfloat16)
+        fnp = rs.randn(inds.shape[0], c).astype(np.float32)
+        fnp[n:] = 0  # invalid rows: kernels only guarantee zeros here
+        feats = jnp.asarray(fnp, dtype=jnp.bfloat16)
         w = jnp.asarray(rs.randn(c, 3, 3, 3, c).astype(np.float32) * .1,
                         dtype=jnp.bfloat16)
 
