@@ -163,17 +163,149 @@ def run_bench_net(large, algo, do_bwd, floor_ms):
     return fwd_ms
 
 
-def run_centerpoint(algo, floor_ms):
+def run_centerpoint(algo, floor_ms, batch=1):
     import jax
     import jax.numpy as jnp
 
     from spconv_tpu.benchmark.centerpoint import (
         build_calibrated_encoder, load_centerpoint_input)
 
-    x, nv = load_centerpoint_input()
-    print(f"[cp] {nv} voxels, grid {x.spatial_shape}", file=sys.stderr,
+    x, nv = load_centerpoint_input(batch=batch)
+    tag = "cp" if batch == 1 else f"cp_b{batch}"
+    print(f"[{tag}] {nv} voxels, grid {x.spatial_shape}", file=sys.stderr,
           flush=True)
     net = build_calibrated_encoder(x, algo=None if algo == "auto" else algo)
+
+    REP = 5
+    shape = x.spatial_shape
+
+    @jax.jit
+    def rep(m, feats, inds):
+        import spconv_tpu
+
+        def body(i, c):
+            f = feats * (1.0 + 0.0 * c).astype(feats.dtype)
+            ii = inds + jnp.isnan(c).astype(inds.dtype)
+            t = spconv_tpu.SparseConvTensor(f, ii, shape, batch,
+                                            keys_sorted=True)
+            return jnp.sum(m.bev(t).astype(jnp.float32))
+
+        return jax.lax.fori_loop(0, REP, body, jnp.float32(0))
+
+    t0 = time.time()
+    float(rep(net, x.features, x.indices))
+    print(f"[{tag}] compile+first: {time.time() - t0:.1f}s", file=sys.stderr,
+          flush=True)
+    n_outer = 3
+    t0 = time.time()
+    for _ in range(n_outer):
+        float(rep(net, x.features, x.indices))
+    ms = ((time.time() - t0) / n_outer * 1000 - floor_ms) / REP / batch
+    if batch == 1:
+        _emit("CenterPoint encoder bf16 forward ms/scan (north star ≤5 ms)",
+              ms, 5.0)
+    else:
+        _emit(f"CenterPoint encoder bf16 forward ms/scan "
+              f"(batched throughput, B={batch})", ms, 5.0)
+    return ms
+
+
+def run_int8(floor_ms):
+    """int8 vs bf16 DG subm conv at C=K ∈ {64, 128} (reference int8
+    story: 1.2-2.7x over f16 at C,K>=64, docs/INT8_GUIDE.md)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from spconv_tpu.benchmark.basic import load_basic_data, make_bench_input
+    from spconv_tpu.ops import coords as C
+    from spconv_tpu.ops.pallas import sorted_conv as SK
+    from spconv_tpu.ops.pallas.dg_conv import dg_subm_conv, dg_subm_conv_q
+
+    voxels, coors, spatial_shape = load_basic_data()
+    x = make_bench_input(voxels, coors, spatial_shape, dtype=jnp.bfloat16)
+    shape = tuple(int(s) for s in spatial_shape)
+    n = x.indices.shape[0]
+    rng = np.random.RandomState(0)
+    keys, _ = C.linearize(x.indices, shape, 1)
+    deltas_np, _ = SK.subm_key_deltas((3, 3, 3), (1, 1, 1), shape)
+    groups = SK.sk_groups((3, 3, 3), include_center=True)
+    W = 384
+    np_t, n_pad = SK._n_pad_for(n, 128, W)
+    sent = int(np.prod(shape))
+    plans = SK.build_sk_plans(SK._pad_rows(keys, np_t, sent), sent,
+                              deltas_np, groups, tile=128, window=W,
+                              n_pad=n_pad, align=128)
+    REP = 8
+
+    def timeit(f, arg):
+        jf = jax.jit(f)
+        float(jf(arg))
+        best = 1e9
+        for _ in range(3):
+            t0 = time.time()
+            float(jf(arg))
+            best = min(best, time.time() - t0)
+        return best * 1000 / REP - floor_ms / REP
+
+    for cch in (64, 128):
+        kout = cch
+        fbf = jnp.asarray(rng.randn(n, cch) * 0.3, jnp.bfloat16)
+        fi8 = jnp.asarray(rng.randint(-100, 100, (n, cch)), jnp.int8)
+        wbf = jnp.asarray(rng.randn(kout, 3, 3, 3, cch) * 0.05,
+                          jnp.bfloat16)
+        wi8 = jnp.asarray(rng.randint(-80, 80, (kout, 3, 3, 3, cch)),
+                          jnp.int8)
+        scale = jnp.asarray(rng.uniform(0.001, 0.01, (kout,)), jnp.float32)
+
+        def bf(ff):
+            def body(_, c):
+                f2 = ff * (1.0 + 0.0 * c).astype(ff.dtype)
+                o = dg_subm_conv(f2, keys, wbf, spatial_shape=shape,
+                                 batch_size=1, dilation=(1, 1, 1),
+                                 window=W, plans=plans)
+                return c + jnp.sum(o.astype(jnp.float32))
+            return jax.lax.fori_loop(0, REP, body, jnp.float32(0))
+
+        def i8(ff):
+            def body(_, c):
+                f2 = (ff.astype(jnp.int32)
+                      + (c > 1e30).astype(jnp.int32)).astype(jnp.int8)
+                o = dg_subm_conv_q(f2, keys, wi8, scale, None,
+                                   spatial_shape=shape, batch_size=1,
+                                   dilation=(1, 1, 1), act="relu",
+                                   out_dtype=jnp.int8, window=W,
+                                   plans=plans)
+                return c + jnp.sum(o.astype(jnp.float32))
+            return jax.lax.fori_loop(0, REP, body, jnp.float32(0))
+
+        ms_bf = timeit(bf, fbf)
+        ms_i8 = timeit(i8, fi8)
+        _emit(f"int8 DG subm conv ms (125k voxels, C=K={cch}; bf16 same "
+              f"layer {ms_bf:.2f} ms)", ms_i8, ms_bf)
+
+
+def run_centerpoint_int8(floor_ms):
+    """int8 CenterPoint encoder (PTQ via quantize_encoder: fused
+    conv+relu and residual-fused conv+add+relu int8 layers)."""
+    import jax
+    import jax.numpy as jnp
+
+    from spconv_tpu.benchmark.centerpoint import load_centerpoint_input
+    from spconv_tpu.calibrate import calibrate_out_bounds
+    from spconv_tpu.models import centerpoint_encoder
+    from spconv_tpu.quantization import quantize_encoder
+
+    x, nv = load_centerpoint_input(dtype=jnp.float32)
+    print(f"[cpq] {nv} voxels, grid {x.spatial_shape}", file=sys.stderr,
+          flush=True)
+    net32 = centerpoint_encoder(in_channels=5, bn=False,
+                                dtype=jnp.float32)
+    net32 = calibrate_out_bounds(net32, lambda m, t: m.bev(t), [x],
+                                 margin=1.15, mult=512)
+    qenc = quantize_encoder(net32, [x])
 
     REP = 5
     shape = x.spatial_shape
@@ -192,89 +324,17 @@ def run_centerpoint(algo, floor_ms):
         return jax.lax.fori_loop(0, REP, body, jnp.float32(0))
 
     t0 = time.time()
-    float(rep(net, x.features, x.indices))
-    print(f"[cp] compile+first: {time.time() - t0:.1f}s", file=sys.stderr,
-          flush=True)
+    float(rep(qenc, x.features, x.indices))
+    print(f"[cpq] compile+first: {time.time() - t0:.1f}s",
+          file=sys.stderr, flush=True)
     n_outer = 3
     t0 = time.time()
     for _ in range(n_outer):
-        float(rep(net, x.features, x.indices))
+        float(rep(qenc, x.features, x.indices))
     ms = ((time.time() - t0) / n_outer * 1000 - floor_ms) / REP
-    _emit("CenterPoint encoder bf16 forward ms/scan (north star ≤5 ms)",
-          ms, 5.0)
+    _emit("CenterPoint encoder int8 forward ms/scan (PTQ, fused "
+          "epilogues)", ms, 5.0)
     return ms
-
-
-def run_int8(floor_ms):
-    """int8 vs bf16 on one stage-0-sized subm conv (reference int8 story:
-    1.2-2.7x over f16 at C,K>=64, docs/INT8_GUIDE.md)."""
-    import time
-
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    from spconv_tpu.benchmark.basic import load_basic_data, make_bench_input
-    from spconv_tpu.ops import coords as C
-    from spconv_tpu.ops.pallas import sorted_conv as SK
-
-    voxels, coors, spatial_shape = load_basic_data()
-    x = make_bench_input(voxels, coors, spatial_shape, dtype=jnp.bfloat16)
-    shape = tuple(int(s) for s in spatial_shape)
-    n = x.indices.shape[0]
-    cch = kout = 128
-    rng = np.random.RandomState(0)
-    fbf = jnp.asarray(rng.randn(n, cch) * 0.3, jnp.bfloat16)
-    fi8 = jnp.asarray(rng.randint(-100, 100, (n, cch)), jnp.int8)
-    wbf = jnp.asarray(rng.randn(kout, 3, 3, 3, cch) * 0.05, jnp.bfloat16)
-    wi8 = jnp.asarray(rng.randint(-80, 80, (kout, 3, 3, 3, cch)), jnp.int8)
-    scale = jnp.asarray(rng.uniform(0.001, 0.01, (kout,)), jnp.float32)
-    keys, _ = C.linearize(x.indices, shape, 1)
-    deltas_np, _ = SK.subm_key_deltas((3, 3, 3), (1, 1, 1), shape)
-    groups = SK.sk_groups((3, 3, 3))
-    T, W = 128, 256
-    np_t, n_pad = SK._n_pad_for(n, T, W)
-    sent = int(np.prod(shape))
-    plans = SK.build_sk_plans(SK._pad_rows(keys, np_t, sent), sent,
-                              deltas_np, groups, tile=T, window=W,
-                              n_pad=n_pad)
-    REP = 8
-
-    def timeit(f, arg):
-        jf = jax.jit(f)
-        float(jf(arg))
-        best = 1e9
-        for _ in range(3):
-            t0 = time.time()
-            float(jf(arg))
-            best = min(best, time.time() - t0)
-        return best * 1000 / REP - floor_ms / REP
-
-    def bf(ff):
-        def body(_, c):
-            f2 = ff * (1.0 + 0.0 * c).astype(ff.dtype)
-            o = SK.sk_subm_conv(f2, x.indices, keys, wbf,
-                                spatial_shape=shape, batch_size=1,
-                                dilation=(1, 1, 1), tile=T, window=W,
-                                plans=plans)
-            return c + jnp.sum(o.astype(jnp.float32))
-        return jax.lax.fori_loop(0, REP, body, jnp.float32(0))
-
-    def i8(ff):
-        def body(_, c):
-            f2 = (ff.astype(jnp.int32)
-                  + (c > 1e30).astype(jnp.int32)).astype(jnp.int8)
-            o = SK.sk_subm_conv_q(f2, keys, wi8, scale, None,
-                                  spatial_shape=shape, batch_size=1,
-                                  dilation=(1, 1, 1), tile=T, window=W,
-                                  plans=plans)
-            return c + jnp.sum(o.astype(jnp.float32))
-        return jax.lax.fori_loop(0, REP, body, jnp.float32(0))
-
-    ms_bf = timeit(bf, fbf)
-    ms_i8 = timeit(i8, fi8)
-    _emit("int8 subm conv ms (125k voxels, C=K=128; bf16 same layer "
-          f"{ms_bf:.2f} ms)", ms_i8, ms_bf)
 
 
 def _enable_compile_cache(jax):
@@ -328,8 +388,12 @@ def main():
                  lambda: run_bench_net(True, algo, do_bwd, floor_ms))
     if only in (None, "cp"):
         _section("cp", lambda: run_centerpoint(algo, floor_ms))
+    if only in (None, "cpb"):
+        _section("cpb", lambda: run_centerpoint(algo, floor_ms, batch=4))
     if only in (None, "int8"):
         _section("int8", lambda: run_int8(floor_ms))
+    if only in (None, "cpq"):
+        _section("cpq", lambda: run_centerpoint_int8(floor_ms))
 
 
 if __name__ == "__main__":

@@ -25,7 +25,10 @@ from spconv_tpu.utils import PointToVoxel
 REF_PC = Path("/root/reference/test/data/benchmark-pc.npz")
 
 
-def load_centerpoint_input(dtype=jnp.bfloat16, bucket=1024):
+def load_centerpoint_input(dtype=jnp.bfloat16, bucket=1024, batch=1):
+    """The north-star input scan; ``batch`` > 1 replicates it across batch
+    indices (batch-major rows keep the key-sorted invariant) for ms/scan
+    throughput measurement."""
     pc = np.load(str(REF_PC))["pc"].astype(np.float32)
     gen = PointToVoxel([0.1, 0.1, 0.1], [-51.2, -51.2, -5, 51.2, 51.2, 3],
                        3, 200000, 1)
@@ -33,19 +36,20 @@ def load_centerpoint_input(dtype=jnp.bfloat16, bucket=1024):
     nv = int(nv)
     feats = np.asarray(voxels).reshape(-1, 3)[:nv]
     coords = np.asarray(coords)[:nv]
-    nbuf = max(bucket, -(-nv // bucket) * bucket)
+    nbuf = max(bucket, -(-(nv * batch) // bucket) * bucket)
     fp = np.zeros((nbuf, 5), np.float32)
-    fp[:nv, :3] = feats
-    fp[:nv, 3] = 1.0  # intensity placeholder
-    fp[:nv, 4] = 0.0  # timestamp placeholder (nuScenes 5-feature input)
     ip = np.full((nbuf, 4), -1, np.int32)
-    ip[:nv, 0] = 0
-    ip[:nv, 1:] = coords
+    for b in range(batch):
+        fp[b * nv:(b + 1) * nv, :3] = feats
+        fp[b * nv:(b + 1) * nv, 3] = 1.0  # intensity placeholder
+        fp[b * nv:(b + 1) * nv, 4] = 0.0  # timestamp (nuScenes 5-feature)
+        ip[b * nv:(b + 1) * nv, 0] = b
+        ip[b * nv:(b + 1) * nv, 1:] = coords
     shape = tuple(gen.grid_size)
     # PointToVoxel assigns voxel ids in linearized-key order, so rows are
     # key-sorted with the invalid tail at the end
     return SparseConvTensor(jnp.asarray(fp, dtype=dtype), jnp.asarray(ip),
-                            shape, 1, keys_sorted=True), nv
+                            shape, batch, keys_sorted=True), nv * batch
 
 
 def build_calibrated_encoder(x: SparseConvTensor, dtype=jnp.bfloat16,

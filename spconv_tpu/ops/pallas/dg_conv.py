@@ -56,7 +56,8 @@ from .sorted_conv import (
 )
 
 __all__ = [
-    "dg_subm_conv", "dg_regular_conv", "chunk_table", "chunk_keys",
+    "dg_subm_conv", "dg_regular_conv", "dg_subm_conv_q",
+    "dg_regular_conv_q", "chunk_table", "chunk_keys",
     "unchunk_out", "DGData",
 ]
 
@@ -124,6 +125,45 @@ def pair_perm(c2: int) -> np.ndarray:
     ``2*c2`` padded channels — weights permute to match (the deep GEMM
     is invariant to a shared contraction-order permutation)."""
     return np.concatenate([np.arange(c2) * 2, np.arange(c2) * 2 + 1])
+
+
+def quad_count(c: int) -> int:
+    """Packed sublane count for int8: channel QUADS ride int32 lanes
+    (4 int8 channels per gatherable int32), quartering gather ops and
+    window DMA vs an unpacked int8 table."""
+    return _round_up(-(-c // 4), 8)
+
+
+def chunk_table_packed4(x_i8: jax.Array, n_pad: int, cq: int) -> jax.Array:
+    """``[N, C]`` int8 → ``[n_pad//128, cq, 128]`` int32, packed row
+    ``r`` holding int8 channels ``4r..4r+3`` (little-endian bytes)."""
+    n = x_i8.shape[0]
+    xb = _pad_lanes(_pad_rows(x_i8, n_pad, 0), 4 * cq)  # [n_pad, 4cq] int8
+    x4 = xb.reshape(n_pad, cq, 4).astype(jnp.uint8).astype(jnp.uint32)
+    packed = (x4[:, :, 0] | (x4[:, :, 1] << 8) | (x4[:, :, 2] << 16)
+              | (x4[:, :, 3] << 24)).astype(jnp.int32)
+    nc = n_pad // _LANE
+    return jnp.transpose(
+        jnp.transpose(packed).reshape(cq, nc, _LANE), (1, 0, 2)
+    )
+
+
+def _unpack_quad(acc_i):
+    """[cq,128] int32 → 4 sign-extended int32 planes of the packed int8
+    quad (byte ``s`` = channel ``4r+s``; zero stays zero for misses)."""
+    return [
+        (acc_i << 24) >> 24,
+        (acc_i << 16) >> 24,
+        (acc_i << 8) >> 24,
+        acc_i >> 24,
+    ]
+
+
+def quad_perm(cq: int) -> np.ndarray:
+    """Channel order of an unpacked int8 gather block: byte-plane-major
+    ``[4r+0... | 4r+1... | 4r+2... | 4r+3...]`` over ``4*cq`` padded
+    channels — weights permute to match."""
+    return np.concatenate([np.arange(cq) * 4 + s for s in range(4)])
 
 
 def chunk_keys(keys: jax.Array, n_pad: int, sentinel) -> jax.Array:
@@ -274,7 +314,7 @@ def _vec_divide_probes(kt, live, coord, bidx, ptab, stride, table_dims,
 
 def _dg_fwd_kernel(
     kv, c_sub, k_sub, vprobe_fn, dims, sentinel, groups, n_tiles,
-    window, comp_dtype, packed,
+    window, comp_dtype, packmode, act, have_add, add_scale,
     # scalar prefetch
     ws_ref, nw_ref,
     # inputs
@@ -282,22 +322,35 @@ def _dg_fwd_kernel(
     ptab_ref,    # [gs, 128] int32 per-offset constants (make_ptab)
     ksh_hbm,     # [nc, _KROWS, 128] int32 chunked key table
     feat_hbm,    # [nc, cg, 128] chunked feature table (i32 packed / f32)
-    w_ref,       # [k_sub, kv*c_sub] comp_dtype
-    # output
-    out_ref,     # [1, k_sub, 128]
-    # scratch
-    wk_ref,      # [2, P, wch, _KROWS, 128] int32
-    wf_ref,      # [2, P, wch, cg, 128] table dtype
-    wk1_ref, wf1_ref,            # single-window sweep buffers
-    gbuf_ref,    # [kv*c_sub, 128] comp_dtype
-    ksems, fsems, ksem1, fsem1,
+    w_ref,       # [k_sub, kv*c_sub] comp_dtype (int8 in q4 mode)
+    *rest,
+    # q4 mode only: scb_ref [2, k_sub, 128] f32 (scale row 0, bias row 1)
+    #               add_ref [1, k_sub, 128] int8 (when have_add)
+    # then: out_ref [1, k_sub, 128]
+    # scratch: wk_ref [2, P, wch, _KROWS, 128] i32;
+    #          wf_ref [2, P, wch, cg, 128] table dtype;
+    #          wk1_ref/wf1_ref single-window sweep buffers;
+    #          gbuf_ref [kv*c_sub, 128] comp_dtype; 4 DMA semaphores
 ):
+    i = 0
+    scb_ref = add_ref = None
+    if packmode == "q4":
+        scb_ref = rest[i]
+        i += 1
+        if have_add:
+            add_ref = rest[i]
+            i += 1
+    out_ref = rest[i]
+    (wk_ref, wf_ref, wk1_ref, wf1_ref, gbuf_ref,
+     ksems, fsems, ksem1, fsem1) = rest[i + 1:]
+
     t = pl.program_id(0)
     P = len(groups)
     wch = window // _LANE
     gs = _round_up(kv, 8)
-    # gather width: packed mode rides bf16 channel PAIRS on int32 lanes
-    cg = c_sub // 2 if packed else c_sub
+    # gather width: packed modes ride bf16 channel PAIRS / int8 channel
+    # QUADS on int32 lanes
+    cg = {"pack2": c_sub // 2, "q4": c_sub // 4}.get(packmode, c_sub)
 
     def gather_write(chunks, pos, found, k, accumulate):
         """Gather offset ``k``'s matched columns from window ``chunks``
@@ -310,9 +363,12 @@ def _dg_fwd_kernel(
             fj = jnp.take_along_axis(chunks[j], within, axis=1)
             acc = jnp.where(((idx // _LANE) == j) & fnd, fj, acc)
         r0 = k * c_sub
-        if packed:
+        if packmode == "pack2":
             lo, hi = _unpack_pair(acc)
             parts = [(r0, lo), (r0 + cg, hi)]
+        elif packmode == "q4":
+            parts = [(r0 + s * cg, v)
+                     for s, v in enumerate(_unpack_quad(acc))]
         else:
             parts = [(r0, acc)]
         for r, v in parts:
@@ -462,6 +518,20 @@ def _dg_fwd_kernel(
     if _ABLATE == "nogemm":
         out_ref[0] = jnp.broadcast_to(
             gbuf_ref[0:1, :], (k_sub, _LANE)).astype(out_ref.dtype)
+    elif packmode == "q4":
+        # int8 × int8 → int32 MXU GEMM with the fused scale/bias/act/
+        # residual/requant epilogue (parity: the reference int8
+        # implicit_gemm epilogue, ops.py:1465-1525)
+        acc = jnp.dot(w_ref[:], gbuf_ref[:],
+                      preferred_element_type=jnp.int32)
+        y = acc.astype(jnp.float32) * scb_ref[0] + scb_ref[1]
+        if have_add:
+            y = y + add_ref[0].astype(jnp.float32) * add_scale
+        if act == "relu":
+            y = jnp.maximum(y, 0.0)
+        if out_ref.dtype == jnp.int8:
+            y = jnp.clip(jnp.round(y), -127.0, 127.0)
+        out_ref[0] = y.astype(out_ref.dtype)
     else:
         out = jnp.dot(w_ref[:], gbuf_ref[:],
                       preferred_element_type=jnp.float32)
@@ -544,7 +614,7 @@ def _dg_conv_call(
     kernel = functools.partial(
         _dg_fwd_kernel, kv, c_sub, k_sub, vprobe_builder,
         tuple(decode_dims), sentinel_tile, groups, n_tiles, window,
-        comp_dtype, packed,
+        comp_dtype, "pack2" if packed else "f32", "none", False, 0.0,
     )
     out = pl.pallas_call(
         kernel,
@@ -555,6 +625,223 @@ def _dg_conv_call(
     )(plan.ws, plan.nw, keys_tiles, ptab, ksh, feat_ch,
       wflat.astype(comp_dtype))
     return unchunk_out(out, n_out, k_ch)
+
+
+def _dg_conv_call_q(
+    table_feats_i8, table_keys, tile_keys, weight_kv_i8, plan, ptab,
+    *, vprobe_builder, decode_dims, sentinel_tile, groups, window,
+    scale, bias, act, out_dtype, add_features=None, add_scale=1.0,
+    interpret=False,
+):
+    """int8 DG forward: quad-packed gather (4 int8 channels per int32
+    lane), int8×int8→int32 deep GEMM, fused scale/bias/act/residual/
+    requant epilogue.  Returns ``[N_out, K]`` in ``out_dtype``."""
+    kv, c, k_ch = weight_kv_i8.shape
+    k_sub = _round_up(k_ch, 32)  # int8 sublane tiling is (32, 128)
+    tile = _LANE
+    n_out = tile_keys.shape[0]
+    n_tiles = -(-n_out // tile)
+    np_t = n_tiles * tile
+    _, n_pad = _n_pad_for(table_keys.shape[0], tile, window)
+    n_pad = _round_up(max(n_pad, np_t), _LANE)
+
+    cq = quad_count(c)
+    c_sub = 4 * cq
+    perm_c = quad_perm(cq)
+
+    ksh = chunk_keys(table_keys, n_pad, sentinel_tile)
+    feat_ch = chunk_table_packed4(table_feats_i8, n_pad, cq)
+    tile_keys_p = _pad_rows(tile_keys, np_t, sentinel_tile)
+    keys_tiles = tile_keys_p.reshape(n_tiles, 1, tile)
+
+    wpad = jnp.pad(weight_kv_i8,
+                   ((0, 0), (0, c_sub - c), (0, k_sub - k_ch)))
+    wpad = wpad[:, perm_c, :]
+    wflat = jnp.transpose(wpad, (2, 0, 1)).reshape(k_sub, kv * c_sub)
+
+    scale_p = jnp.pad(jnp.asarray(scale, jnp.float32), (0, k_sub - k_ch))
+    bias_p = (jnp.pad(jnp.asarray(bias, jnp.float32), (0, k_sub - k_ch))
+              if bias is not None else jnp.zeros((k_sub,), jnp.float32))
+    scb = jnp.stack([
+        jnp.broadcast_to(scale_p[:, None], (k_sub, _LANE)),
+        jnp.broadcast_to(bias_p[:, None], (k_sub, _LANE)),
+    ])  # [2, k_sub, 128] f32
+
+    have_add = add_features is not None
+    wch = window // _LANE
+    P = len(groups)
+    in_specs = [
+        pl.BlockSpec((1, 1, tile), lambda t, *_: (t, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, k_sub, _LANE), lambda t, *_: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [plan.ws, plan.nw, keys_tiles, ptab, ksh, feat_ch, wflat, scb]
+    if have_add:
+        # residual rows align 1:1 with output tile rows (subm add);
+        # transposed to the kernel's [k_sub, 128] out layout
+        ap = _pad_lanes(_pad_rows(add_features, np_t, 0), k_sub)
+        add_ch = jnp.transpose(
+            ap.reshape(n_tiles, _LANE, k_sub), (0, 2, 1))
+        in_specs.append(
+            pl.BlockSpec((1, k_sub, _LANE), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM))
+        args.append(add_ch)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, k_sub, _LANE), lambda t, *_: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, P, wch, _KROWS, _LANE), jnp.int32),
+            pltpu.VMEM((2, P, wch, cq, _LANE), jnp.int32),
+            pltpu.VMEM((wch, _KROWS, _LANE), jnp.int32),
+            pltpu.VMEM((wch, cq, _LANE), jnp.int32),
+            pltpu.VMEM((kv * c_sub, _LANE), jnp.int8),
+            pltpu.SemaphoreType.DMA((2, P)),
+            pltpu.SemaphoreType.DMA((2, P)),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    kernel = functools.partial(
+        _dg_fwd_kernel, kv, c_sub, k_sub, vprobe_builder,
+        tuple(decode_dims), sentinel_tile, groups, n_tiles, window,
+        jnp.int8, "q4", act, have_add, float(add_scale),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, k_sub, _LANE),
+                                       out_dtype),
+        interpret=interpret,
+    )(*args)
+    return unchunk_out(out, n_out, k_ch)
+
+
+def dg_subm_conv_q(
+    features_i8: jax.Array,   # [N, C] int8
+    keys: jax.Array,          # [N] int32 sorted linearized keys
+    weight_i8: jax.Array,     # KRSC [K, *ksize, C] int8
+    scale: jax.Array,         # [K] f32 — in_scale*w_scale/out_scale
+    bias: Optional[jax.Array],  # [K] f32 (output-scale units)
+    *,
+    spatial_shape: Sequence[int],
+    batch_size: int,
+    dilation: Sequence[int],
+    act: str = "none",
+    out_dtype=jnp.int8,
+    add_features: Optional[jax.Array] = None,  # [N, K] int8 residual
+    add_scale: float = 1.0,   # add_in_scale / out_scale
+    window: int = 384,
+    plans: Optional[Tuple[SKPlan, SKPlan]] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """int8 dynamic-gather subm conv with the fused epilogue, including
+    the residual-fused variant (parity: ``SparseConvAddReLU``,
+    ``intrinsic/quantized/conv_relu.py``).  Inference-only; requires a
+    statically key-sorted tensor."""
+    ksize = tuple(int(k) for k in weight_i8.shape[1:-1])
+    dilation = tuple(int(d) for d in dilation)
+    k_out = weight_i8.shape[0]
+    c = weight_i8.shape[-1]
+    kv = int(np.prod(ksize))
+    weight_kv = jnp.transpose(
+        weight_i8.reshape(k_out, kv, c), (1, 2, 0))  # [kv, C, K] int8
+
+    deltas_np, disp_np = subm_key_deltas(ksize, dilation, spatial_shape)
+    groups = sk_groups(ksize, include_center=True)
+    dims = tuple(int(s) for s in spatial_shape)
+    sentinel = int(np.prod(dims)) * int(batch_size)
+    n = keys.shape[0]
+    np_t, n_pad = _n_pad_for(n, _LANE, window)
+    if plans is None:
+        keys_p = _pad_rows(keys, np_t, sentinel)
+        plans = build_sk_plans(
+            keys_p, sentinel, deltas_np, groups, tile=_LANE,
+            window=window, n_pad=n_pad, align=_LANE,
+        )
+    gs = _round_up(kv, 8)
+    vprobe = functools.partial(_vec_shift_probes, dims=dims, kv=kv, gs=gs)
+    return _dg_conv_call_q(
+        features_i8, keys, keys, weight_kv, plans[0],
+        make_ptab(deltas_np, disp_np, gs),
+        vprobe_builder=vprobe, decode_dims=dims, sentinel_tile=sentinel,
+        groups=groups, window=window, scale=scale, bias=bias, act=act,
+        out_dtype=out_dtype, add_features=add_features,
+        add_scale=add_scale, interpret=interpret,
+    )
+
+
+def dg_regular_conv_q(
+    features_i8: jax.Array,
+    in_keys: jax.Array,
+    out_keys: jax.Array,
+    weight_i8: jax.Array,     # KRSC int8
+    scale: jax.Array,
+    bias: Optional[jax.Array],
+    *,
+    in_shape: Sequence[int],
+    out_shape: Sequence[int],
+    batch_size: int,
+    stride: Sequence[int],
+    padding: Sequence[int],
+    dilation: Sequence[int],
+    act: str = "none",
+    out_dtype=jnp.int8,
+    window: int = 384,
+    plans=None,
+    interpret: bool = False,
+):
+    """int8 dynamic-gather regular (strided) conv with fused epilogue.
+    Output sites must be precomputed (``out_keys``); returns
+    ``(out_features, plans)``."""
+    from .sorted_conv import _SKRegGeom, build_sk_reg_plans
+
+    ksize = tuple(int(k) for k in weight_i8.shape[1:-1])
+    k_out = weight_i8.shape[0]
+    c = weight_i8.shape[-1]
+    kv = int(np.prod(ksize))
+    offs = C.kernel_offsets(ksize)
+    disp = (offs * np.asarray([int(d) for d in dilation])
+            - np.asarray([int(p) for p in padding])).astype(np.int32)
+    in_dims = tuple(int(v) for v in in_shape)
+    out_dims = tuple(int(v) for v in out_shape)
+    sent_in = int(np.prod(in_dims)) * int(batch_size)
+    sent_out = int(np.prod(out_dims)) * int(batch_size)
+    groups = sk_groups(ksize, include_center=True)
+    weight_kv = jnp.transpose(
+        weight_i8.reshape(k_out, kv, c), (1, 2, 0))
+    if plans is None:
+        sk_geom = _SKRegGeom(
+            stride=tuple(int(v) for v in stride),
+            disp=tuple(int(v) for v in disp.reshape(-1)),
+            in_dims=in_dims, out_dims=out_dims, sent_in=sent_in,
+            sent_out=sent_out, tile=_LANE, window=window,
+            groups=groups, inverse=False, interpret=bool(interpret),
+        )
+        plans = build_sk_reg_plans(in_keys, out_keys, sk_geom,
+                                   align=_LANE)
+    plan_io, _ = plans
+    gs = _round_up(kv, 8)
+    vprobe = functools.partial(
+        _vec_affine_probes, stride=tuple(int(v) for v in stride),
+        table_dims=in_dims, kv=kv, gs=gs)
+    out = _dg_conv_call_q(
+        features_i8, in_keys, out_keys, weight_kv, plan_io,
+        make_ptab(None, disp, gs),
+        vprobe_builder=vprobe, decode_dims=out_dims,
+        sentinel_tile=sent_out, groups=groups, window=window,
+        scale=scale, bias=bias, act=act, out_dtype=out_dtype,
+        interpret=interpret,
+    )
+    return out, plans
 
 
 # ---------------------------------------------------------------------------

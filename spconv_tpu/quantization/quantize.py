@@ -147,32 +147,36 @@ class QuantizedSparseConv(Module):
 
         from ..ops import coords as _C
 
-        # fused int8 sorted-key kernel for subm convs when the residual
-        # add isn't present (the fused epilogue covers scale/bias/act);
-        # residual-fused and non-subm variants take the gather path.
-        # keys_sorted gate (ADVICE r2 medium): the fused kernel requires
-        # key-sorted rows and has no dynamic fallback — unflagged tensors
-        # take the always-correct gather path below.
-        if (
-            cfg.subm
-            and add_input is None
-            and x.keys_sorted
+        # fused int8 dynamic-gather kernels (quad-packed gather, int8
+        # MXU GEMM, in-kernel scale/bias/act/residual/requant epilogue)
+        # for subm AND strided convs on statically key-sorted input.
+        # keys_sorted gate (ADVICE r2 medium): the fused kernels require
+        # key-sorted rows and have no dynamic fallback — unflagged
+        # tensors take the always-correct gather path below.
+        fused_ok = (
+            x.keys_sorted
             and not _C.use_pair_keys(x.spatial_shape, x.batch_size)
             and (jax.default_backend() != "cpu")
-        ):
-            from ..ops.pallas.sorted_conv import sk_subm_conv_q
+            and not cfg.transposed
+            and not cfg.inverse
+        )
+        scale = (self.input_scale * self.weight_scale
+                 / self.output_scale)
+        bias_q = (self.bias / self.output_scale
+                  if self.bias is not None else None)
+        if fused_ok and cfg.subm:
+            from ..ops.pallas.dg_conv import dg_subm_conv_q
 
             keys, _ = _C.linearize(x.indices, x.spatial_shape,
                                    x.batch_size)
-            scale = (self.input_scale * self.weight_scale
-                     / self.output_scale)
-            bias = (self.bias / self.output_scale
-                    if self.bias is not None else None)
-            q = sk_subm_conv_q(
-                x.features, keys, self.weight_i8, scale, bias,
+            q = dg_subm_conv_q(
+                x.features, keys, self.weight_i8, scale, bias_q,
                 spatial_shape=tuple(int(v) for v in x.spatial_shape),
                 batch_size=x.batch_size, dilation=cfg.dilation,
                 act=self.act_type, out_dtype=jnp.int8,
+                add_features=(add_input.features
+                              if add_input is not None else None),
+                add_scale=float(add_scale) / self.output_scale,
             )
             valid = x.indices[:, 0] >= 0
             q = jnp.where(valid[:, None], q, 0)
@@ -180,6 +184,60 @@ class QuantizedSparseConv(Module):
                 q, x.indices, x.spatial_shape, x.batch_size,
                 num_voxels=x.num_voxels,
                 indice_dict=dict(x.indice_dict), keys_sorted=True)
+        if fused_ok and add_input is None:
+            from ..ops.pallas.dg_conv import dg_regular_conv_q
+            from ..ops.pallas.sorted_conv import SKRegData
+            from ..ops.rulebook import build_conv_outputs
+
+            spatial_shape = tuple(int(v) for v in x.spatial_shape)
+            out_shape = tuple(int(v) for v in _C.get_conv_output_size(
+                spatial_shape, cfg.kernel_size, cfg.stride, cfg.padding,
+                cfg.dilation))
+            ck = (f"__dgreg__{cfg.indice_key}"
+                  if cfg.indice_key is not None else None)
+            rec = x.indice_dict.get(ck) if ck else None
+            if (isinstance(rec, SKRegData)
+                    and rec.ksize == cfg.kernel_size
+                    and rec.stride == cfg.stride
+                    and rec.padding == cfg.padding
+                    and rec.dilation == cfg.dilation
+                    and rec.in_shape == spatial_shape
+                    and not rec.transposed):
+                in_keys, out_keys = rec.in_keys, rec.out_keys
+                out_indices, num_out = rec.out_indices, rec.num_out
+                plans = rec.plans
+            else:
+                rec = None
+                out_indices, out_keys, num_out = build_conv_outputs(
+                    x.indices, spatial_shape=spatial_shape,
+                    batch_size=x.batch_size, ksize=cfg.kernel_size,
+                    stride=cfg.stride, padding=cfg.padding,
+                    dilation=cfg.dilation,
+                    out_bound=cfg._resolve_out_bound(x.indices.shape[0]))
+                in_keys, _ = _C.linearize(x.indices, spatial_shape,
+                                          x.batch_size)
+                plans = None
+            q, plans = dg_regular_conv_q(
+                x.features, in_keys, out_keys, self.weight_i8, scale,
+                bias_q, in_shape=spatial_shape, out_shape=out_shape,
+                batch_size=x.batch_size, stride=cfg.stride,
+                padding=cfg.padding, dilation=cfg.dilation,
+                act=self.act_type, out_dtype=jnp.int8, plans=plans)
+            valid = out_indices[:, 0] >= 0
+            q = jnp.where(valid[:, None], q, 0)
+            out = SparseConvTensor(
+                q, out_indices, out_shape, x.batch_size,
+                num_voxels=num_out, indice_dict=dict(x.indice_dict),
+                keys_sorted=True)
+            if ck and rec is None:
+                out.indice_dict[ck] = SKRegData(
+                    in_keys, out_keys, out_indices, num_out, plans,
+                    ksize=cfg.kernel_size, stride=cfg.stride,
+                    padding=cfg.padding, dilation=cfg.dilation,
+                    in_shape=spatial_shape, out_shape=out_shape,
+                    tile=128, window=384, transposed=False,
+                    output_padding=cfg.output_padding)
+            return out
 
         if cfg.subm:
             from ..ops.rulebook import build_subm_rulebook

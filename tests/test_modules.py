@@ -204,3 +204,39 @@ def test_conv1x1_fast_path(rng):
     np.testing.assert_allclose(np.asarray(y.features)[valid], want[valid],
                                atol=1e-5)
     assert np.all(np.asarray(y.features)[~valid] == 0)
+
+
+def test_benchmark_record_per_layer(rng):
+    """benchmark=True threads per-layer records through conv and pool
+    layers (parity: reference benchmark mode, conv.py:201-224,494-501)."""
+    x, _, inds_p = make_input(rng)
+    x.benchmark = True
+    net = spconv_tpu.SparseSequential(
+        spconv_tpu.SubMConv3d(4, 8, 3, indice_key="c1"),
+        spconv_tpu.SparseReLU(),
+        spconv_tpu.SparseConv3d(8, 16, 3, stride=2, padding=1,
+                                indice_key="d1"),
+        spconv_tpu.SparseMaxPool3d(2, out_bound=64),
+    )
+    out = net(x)
+    recs = out.benchmark_record
+    types = [r["type"] for r in recs.values()]
+    assert "SubMConv3d" in types and "SparseConv3d" in types
+    assert "SparseMaxPool3d" in types
+    conv_rec = next(r for r in recs.values() if r["type"] == "SubMConv3d")
+    # outside jit the voxel counts are concrete
+    assert conv_rec["num_voxels_in"] is not None
+    assert conv_rec["in_channels"] == 4 and conv_rec["out_channels"] == 8
+    # under jit the records still appear (counts become None, not tracers)
+    import jax as _jax
+
+    @_jax.jit
+    def f(feats):
+        t = spconv_tpu.SparseConvTensor(feats, x.indices, x.spatial_shape,
+                                        x.batch_size)
+        t.benchmark = True
+        o = net(t)
+        assert len(o.benchmark_record) >= 3
+        return o.features
+
+    f(x.features)

@@ -98,3 +98,49 @@ def test_conv_residual_add_input(rng):
     np.testing.assert_allclose(
         np.asarray(fused.features),
         np.asarray(base.features + x.features), atol=1e-5)
+
+
+def test_quantize_encoder_end_to_end(rng):
+    """Whole-encoder PTQ (quantize_encoder): int8 output tracks the fp
+    encoder within quantization error, incl. residual-fused blocks."""
+    import spconv_tpu
+    from spconv_tpu.models import SparseEncoder
+    from spconv_tpu.quantization import quantize_encoder
+
+    shape = (8, 12, 12)
+    feats, inds = generate_sparse_data(shape, 150, 4, batch_size=1,
+                                       rng=rng)
+    key = inds[:, 0].astype(np.int64)
+    for a, s in enumerate(shape):
+        key = key * s + inds[:, a + 1]
+    order = np.argsort(key, kind="stable")
+    feats, inds = feats[order], inds[order]
+    fb = np.zeros((256, 4), np.float32)
+    ib = np.full((256, 4), -1, np.int32)
+    fb[:len(inds)] = feats
+    ib[:len(inds)] = inds
+    x = spconv_tpu.SparseConvTensor(jnp.asarray(fb), jnp.asarray(ib),
+                                    shape, 1, keys_sorted=True)
+
+    enc = SparseEncoder(in_channels=4, base_channels=8, channels=(8, 16),
+                        blocks_per_stage=1, out_channels=16, bn=False,
+                        out_bounds=(256,), key=jax.random.PRNGKey(7))
+    qenc = quantize_encoder(enc, [x])
+
+    ref = enc(x)
+    out = qenc(x)
+    rf = np.asarray(ref.features, np.float32)
+    of = np.asarray(out.features, np.float32)
+    assert of.shape == rf.shape
+    scale = np.abs(rf).max()
+    err = np.abs(of - rf).max() / max(scale, 1e-9)
+    l2 = np.linalg.norm(of - rf) / max(np.linalg.norm(rf), 1e-9)
+    # int8 PTQ error through 5 conv layers on random (worst-case) data;
+    # the reference's int8 dev script tolerates similar drift
+    assert err < 0.25, f"int8 max rel err {err:.3f}"
+    assert l2 < 0.1, f"int8 L2 rel err {l2:.3f}"
+    # int8 layers actually used (not a silent fp path)
+    from spconv_tpu.quantization.encoder import QuantizedSparseBasicBlock
+    kinds = [type(l).__name__ for l in qenc.layers]
+    assert "QuantizedSparseConv" in kinds
+    assert "QuantizedSparseBasicBlock" in kinds

@@ -435,3 +435,119 @@ def test_sk_transposed_module_path(rng):
     np.testing.assert_allclose(np.asarray(y1.features),
                                np.asarray(y2.features), rtol=1e-3,
                                atol=1e-3)
+
+
+def test_dg_int8_subm_vs_reference(rng):
+    """int8 DG kernel (quad-packed gather + int8 MXU GEMM) vs the int8
+    gather reference — exact, incl. fused bias/relu/requant epilogue."""
+    from spconv_tpu.ops.pallas.dg_conv import dg_subm_conv_q
+    from spconv_tpu.quantization.quantize import _int8_gather_mm
+
+    shape = (11, 13, 17)
+    c, k_out = 8, 16
+    feats, inds = _sorted_input(rng, shape, 300, c, 512)
+    keys, sent = _keys_of(inds, shape, 1)
+    fi8 = jnp.asarray(rng.randint(-100, 100, feats.shape), jnp.int8)
+    fi8 = jnp.where(inds[:, :1] >= 0, fi8, 0)
+    wi8 = jnp.asarray(rng.randint(-80, 80, (k_out, 3, 3, 3, c)), jnp.int8)
+    scale = jnp.asarray(rng.uniform(0.001, 0.01, (k_out,)), jnp.float32)
+    bias = jnp.asarray(rng.uniform(-1, 1, (k_out,)), jnp.float32)
+
+    out = dg_subm_conv_q(
+        fi8, keys, wi8, scale, bias, spatial_shape=shape, batch_size=1,
+        dilation=(1, 1, 1), act="relu", out_dtype=jnp.int8,
+        interpret=True)
+
+    from spconv_tpu.ops.rulebook import build_subm_rulebook
+    data = build_subm_rulebook(inds, spatial_shape=shape, batch_size=1,
+                               ksize=(3, 3, 3), dilation=(1, 1, 1))
+    wkv = jnp.transpose(wi8.reshape(k_out, 27, c), (1, 2, 0))
+    acc = _int8_gather_mm(fi8, wkv, data.pair_fwd, 13)
+    y = acc.astype(jnp.float32) * scale[None, :] + bias[None, :]
+    y = jnp.maximum(y, 0.0)
+    ref = jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
+    valid = np.asarray(inds[:, 0] >= 0)
+    np.testing.assert_array_equal(np.asarray(out)[valid],
+                                  np.asarray(ref)[valid])
+
+
+def test_dg_int8_subm_residual_fused(rng):
+    """Residual-fused int8 DG conv (parity: SparseConvAddReLU) — the add
+    rides the in-kernel epilogue."""
+    from spconv_tpu.ops.pallas.dg_conv import dg_subm_conv_q
+    from spconv_tpu.quantization.quantize import _int8_gather_mm
+
+    shape = (9, 11, 13)
+    c = k_out = 16
+    feats, inds = _sorted_input(rng, shape, 250, c, 384)
+    keys, _ = _keys_of(inds, shape, 1)
+    fi8 = jnp.asarray(rng.randint(-90, 90, feats.shape), jnp.int8)
+    fi8 = jnp.where(inds[:, :1] >= 0, fi8, 0)
+    add_i8 = jnp.asarray(rng.randint(-90, 90, (feats.shape[0], k_out)),
+                         jnp.int8)
+    add_i8 = jnp.where(inds[:, :1] >= 0, add_i8, 0)
+    wi8 = jnp.asarray(rng.randint(-60, 60, (k_out, 3, 3, 3, c)), jnp.int8)
+    scale = jnp.asarray(rng.uniform(0.001, 0.01, (k_out,)), jnp.float32)
+    add_scale = 0.37
+
+    out = dg_subm_conv_q(
+        fi8, keys, wi8, scale, None, spatial_shape=shape, batch_size=1,
+        dilation=(1, 1, 1), act="relu", out_dtype=jnp.int8,
+        add_features=add_i8, add_scale=add_scale, interpret=True)
+
+    from spconv_tpu.ops.rulebook import build_subm_rulebook
+    data = build_subm_rulebook(inds, spatial_shape=shape, batch_size=1,
+                               ksize=(3, 3, 3), dilation=(1, 1, 1))
+    wkv = jnp.transpose(wi8.reshape(k_out, 27, c), (1, 2, 0))
+    acc = _int8_gather_mm(fi8, wkv, data.pair_fwd, 13)
+    y = acc.astype(jnp.float32) * scale[None, :] \
+        + add_i8.astype(jnp.float32) * add_scale
+    y = jnp.maximum(y, 0.0)
+    ref = jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
+    valid = np.asarray(inds[:, 0] >= 0)
+    np.testing.assert_array_equal(np.asarray(out)[valid],
+                                  np.asarray(ref)[valid])
+
+
+def test_dg_int8_regular_strided(rng):
+    """int8 DG strided conv vs the int8 gather reference (coord-keyed
+    output alignment); bf16 out_dtype path included."""
+    from spconv_tpu.ops import coords as C
+    from spconv_tpu.ops.pallas.dg_conv import dg_regular_conv_q
+    from spconv_tpu.ops.rulebook import build_conv_rulebook
+    from spconv_tpu.quantization.quantize import _int8_gather_mm
+
+    shape = (10, 12, 14)
+    c, k_out = 8, 16
+    feats, inds = _sorted_input(rng, shape, 280, c, 384)
+    in_keys, _ = _keys_of(inds, shape, 1)
+    fi8 = jnp.asarray(rng.randint(-90, 90, feats.shape), jnp.int8)
+    fi8 = jnp.where(inds[:, :1] >= 0, fi8, 0)
+    wi8 = jnp.asarray(rng.randint(-60, 60, (k_out, 3, 3, 3, c)), jnp.int8)
+    scale = jnp.asarray(rng.uniform(0.001, 0.01, (k_out,)), jnp.float32)
+
+    data = build_conv_rulebook(
+        inds, spatial_shape=shape, batch_size=1, ksize=(3, 3, 3),
+        stride=(2, 2, 2), padding=(1, 1, 1), dilation=(1, 1, 1),
+        out_bound=384)
+    out_shape = tuple(int(v) for v in data.out_spatial_shape)
+    ref_keys, _ = C.linearize(data.out_indices, out_shape, 1)
+    order = np.argsort(np.asarray(ref_keys), kind="stable")
+    out_keys = jnp.asarray(np.asarray(ref_keys)[order])
+
+    out, _plans = dg_regular_conv_q(
+        fi8, in_keys, out_keys, wi8, scale, None,
+        in_shape=shape, out_shape=out_shape, batch_size=1,
+        stride=(2, 2, 2), padding=(1, 1, 1), dilation=(1, 1, 1),
+        act="none", out_dtype=jnp.int8, interpret=True)
+
+    acc = _int8_gather_mm(fi8,
+                          jnp.transpose(wi8.reshape(k_out, 27, c),
+                                        (1, 2, 0)),
+                          data.pair_fwd, None)
+    y = acc.astype(jnp.float32) * scale[None, :]
+    ref = jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
+    ref_sorted = np.asarray(ref)[order]
+    valid = np.asarray(data.out_indices[:, 0] >= 0)[order]
+    np.testing.assert_array_equal(np.asarray(out)[valid],
+                                  ref_sorted[valid])
