@@ -535,16 +535,19 @@ class SparseConvolution(Module):
         (indice_key, geometry)."""
         from ..ops.pallas import dg_conv as DG
         from ..ops.pallas import sorted_conv as SK
+        from ..ops.pallas.dg_conv import dg_rows_for, dg_window_for
 
         features = input.features
         indices = input.indices
         spatial_shape = tuple(int(s) for s in input.spatial_shape)
         batch_size = input.batch_size
-        window = 384
+        rows = dg_rows_for(self.in_channels, self.out_channels)
+        window = dg_window_for(rows)
         interpret = jax.default_backend() == "cpu"
 
         ck = DG.DGData.cache_key(
-            self.indice_key, self.kernel_size, self.dilation, window
+            self.indice_key, self.kernel_size, self.dilation, window,
+            rows=rows,
         ) if self.indice_key is not None else None
         rec = input.indice_dict.get(ck) if ck else None
         new_rec = None
@@ -559,12 +562,20 @@ class SparseConvolution(Module):
             groups = SK.sk_groups(self.kernel_size, include_center=True)
             sent_i = int(np.prod(spatial_shape)) * int(batch_size)
             n = keys.shape[0]
-            np_t, n_pad = SK._n_pad_for(n, 128, window)
+            np_t, n_pad = SK._n_pad_for(n, 128 * rows, window)
             keys_p = SK._pad_rows(keys, np_t, sent_i)
             plans = SK.build_sk_plans(
-                keys_p, sent_i, deltas_np, groups, tile=128,
+                keys_p, sent_i, deltas_np, groups, tile=128 * rows,
                 window=window, n_pad=n_pad, align=128,
             )
+            if rows > 1:
+                np_t1, n_pad1 = SK._n_pad_for(n, 128, window)
+                keys_p1 = SK._pad_rows(keys, np_t1, sent_i)
+                _, plan_bwd = SK.build_sk_plans(
+                    keys_p1, sent_i, deltas_np, groups, tile=128,
+                    window=window, n_pad=n_pad1, align=128,
+                )
+                plans = (plans[0], plan_bwd)
             if ck:
                 new_rec = DG.DGData(
                     keys, plans, ksize=self.kernel_size,
@@ -575,8 +586,8 @@ class SparseConvolution(Module):
         out_feat = DG.dg_subm_conv(
             features, keys, self.weight,
             spatial_shape=spatial_shape, batch_size=batch_size,
-            dilation=self.dilation, window=window, plans=plans,
-            interpret=interpret,
+            dilation=self.dilation, window=window, rows_per_tile=rows,
+            plans=plans, interpret=interpret,
         )
         out_feat = bias_add_act(
             out_feat, self.bias, self.act_type, self.act_alpha,

@@ -58,10 +58,35 @@ from .sorted_conv import (
 __all__ = [
     "dg_subm_conv", "dg_regular_conv", "dg_subm_conv_q",
     "dg_regular_conv_q", "chunk_table", "chunk_keys",
-    "unchunk_out", "DGData",
+    "unchunk_out", "DGData", "dg_rows_for", "dg_window_for",
 ]
 
 _KROWS = 8  # sublane rows in the chunked key table (row 0 = keys)
+
+def dg_rows_for(c_in: int, c_out: int) -> int:
+    """Supertile row count heuristic: narrow-channel layers amortize
+    per-step fixed costs and window reach over more voxels (the search/
+    gather per-voxel cost ∝ window/(R·128)); wide layers are GEMM/VMEM
+    bound and keep R small.  Override with ``SPCONV_DG_ROWS``; the
+    heuristic activates once verified on hardware via
+    ``SPCONV_DG_ROWS=auto`` (see tools/probe_dg_bench.py)."""
+    import os
+
+    env = os.environ.get("SPCONV_DG_ROWS", "1")
+    if env != "auto":
+        return max(1, int(env))
+    maxc = max(int(c_in), int(c_out))
+    if maxc <= 32:
+        return 4
+    if maxc <= 64:
+        return 2
+    return 1
+
+
+def dg_window_for(rows: int) -> int:
+    """Window size for R-row supertiles: per-128-row reach (~256 keys
+    measured on the bench scans) plus the supertile's own span."""
+    return 256 + 128 * int(rows)
 
 # perf-ablation knob (tools/probe_dg_bench.py): "nosearch" replaces the
 # binary search with an iota guess, "nogather" skips the feature gather,
@@ -177,10 +202,10 @@ def chunk_keys(keys: jax.Array, n_pad: int, sentinel) -> jax.Array:
 
 
 def unchunk_out(out: jax.Array, n: int, k: int) -> jax.Array:
-    """``[n_tiles, k_sub, 128]`` → ``[n, k]`` (undo the transposed
+    """``[n_tiles, k_sub, R*128]`` → ``[n, k]`` (undo the transposed
     tiling)."""
-    n_tiles, k_sub, _ = out.shape
-    return jnp.transpose(out, (0, 2, 1)).reshape(n_tiles * _LANE,
+    n_tiles, k_sub, lanes = out.shape
+    return jnp.transpose(out, (0, 2, 1)).reshape(n_tiles * lanes,
                                                  k_sub)[:n, :k]
 
 
@@ -190,7 +215,7 @@ def unchunk_out(out: jax.Array, n: int, k: int) -> jax.Array:
 
 def _key_at(wk_chunks, idx):
     """Window key at ``idx`` ∈ [0, window) per element.  ``wk_chunks``:
-    list of [gs,128] int32 (chunk j of each row's window, already
+    list of [G,128] int32 (chunk j of each row's window, already
     plane-selected per row)."""
     res = jnp.full(idx.shape, np.int32(2**31 - 1), jnp.int32)
     for j, rows in enumerate(wk_chunks):
@@ -237,69 +262,56 @@ def _gather_feat(wf_chunks, pos, found, c_rows):
     return acc
 
 
-def _stack_rows(rows, gs):
-    """Concatenate [*,128] pieces along sublanes and pad to ``gs``."""
-    have = sum(r.shape[0] for r in rows)
-    if gs > have:
-        rows = rows + [jnp.full((gs - have, _LANE), np.int32(-1),
-                                jnp.int32)]
-    return jnp.concatenate(rows, axis=0) if len(rows) > 1 else rows[0]
-
-
-def _row_mask(kv, gs):
-    """[gs,1] bool: rows < kv are live offsets (iota, not a captured
-    constant — Pallas kernels may not close over array values)."""
-    return jax.lax.broadcasted_iota(jnp.int32, (gs, 1), 0) < kv
-
-
-def make_ptab(deltas, disp, gs) -> jax.Array:
-    """Per-offset constant table [gs, 128] int32 passed INTO the kernel
-    (closure constants are rejected by pallas): col 0 = key shift Δ_k
-    (0 for affine/divide probes), cols 1..ndim = displacement d_k."""
+def make_ptab(deltas, disp, gs, rows: int = 1) -> jax.Array:
+    """Per-offset constant table [rows*gs, 128] int32 passed INTO the
+    kernel (closure constants are rejected by pallas): col 0 = key shift
+    Δ_k (0 for affine/divide probes), cols 1..ndim = displacement d_k,
+    col ndim+1 = live flag (0 on the gs padding rows).  With
+    ``rows`` > 1 the gs block tiles per supertile row."""
     kv, ndim = disp.shape
     tab = np.zeros((gs, 128), np.int32)
     if deltas is not None:
         tab[:kv, 0] = np.asarray(deltas, np.int64)
     tab[:kv, 1:1 + ndim] = np.asarray(disp, np.int32)
-    return jnp.asarray(tab)
+    tab[:kv, 1 + ndim] = 1
+    return jnp.asarray(np.tile(tab, (rows, 1)))
 
 
-def _vec_shift_probes(kt, live, coord, bidx, ptab, dims, kv, gs):
-    """All-offset subm probes stacked [gs,128] (−1 = dead/out-of-range).
-    Vectorized form of ``_probe_shift_fn`` — per-offset constants ride
-    [gs,1] columns of the ``ptab`` input."""
-    ok = jnp.broadcast_to(live.reshape(1, _LANE), (gs, _LANE))
-    ok = ok & _row_mask(kv, gs)
-    for a in range(len(dims)):
-        da = ptab[:, a + 1:a + 2]
-        ca = coord[a].reshape(1, _LANE) + da
+def _vec_shift_probes(ktS, liveS, coordS, bidxS, ptab, dims):
+    """Stacked subm probes [G,128] (−1 = dead/out-of-range), G = R·gs,
+    row r·gs+k = supertile row r, kernel offset k.  Vectorized form of
+    ``_probe_shift_fn`` — per-offset constants ride [G,1] columns of the
+    ``ptab`` input (live flag at col ndim+1)."""
+    nd = len(dims)
+    ok = liveS & (ptab[:, nd + 1:nd + 2] > 0)
+    for a in range(nd):
+        ca = coordS[a] + ptab[:, a + 1:a + 2]
         ok = ok & (ca >= 0) & (ca < dims[a])
-    probes = kt.reshape(1, _LANE) + ptab[:, 0:1]
+    probes = ktS + ptab[:, 0:1]
     return jnp.where(ok, probes, np.int32(-1))
 
 
-def _vec_affine_probes(kt, live, coord, bidx, ptab, stride, table_dims,
-                       kv, gs):
-    """All-offset OUT→IN probes stacked [gs,128]."""
-    ok = jnp.broadcast_to(live.reshape(1, _LANE), (gs, _LANE))
-    ok = ok & _row_mask(kv, gs)
-    key = jnp.broadcast_to(bidx.reshape(1, _LANE), (gs, _LANE))
-    for a in range(len(table_dims)):
-        ca = coord[a].reshape(1, _LANE) * int(stride[a]) \
-            + ptab[:, a + 1:a + 2]
+def _vec_affine_probes(ktS, liveS, coordS, bidxS, ptab, stride,
+                       table_dims):
+    """Stacked OUT→IN probes [G,128]."""
+    nd = len(table_dims)
+    ok = liveS & (ptab[:, nd + 1:nd + 2] > 0)
+    key = bidxS
+    for a in range(nd):
+        ca = coordS[a] * int(stride[a]) + ptab[:, a + 1:a + 2]
         ok = ok & (ca >= 0) & (ca < table_dims[a])
         key = key * int(table_dims[a]) + ca
     return jnp.where(ok, key, np.int32(-1))
 
 
-def _vec_divide_probes(kt, live, coord, bidx, ptab, stride, table_dims,
-                       kv, gs):
-    """All-offset IN→OUT probes (stride divisibility) stacked [gs,128]."""
-    ok = jnp.broadcast_to(live.reshape(1, _LANE), (gs, _LANE))
-    ok = ok & _row_mask(kv, gs)
-    key = jnp.broadcast_to(bidx.reshape(1, _LANE), (gs, _LANE))
-    for a in range(len(table_dims)):
-        ta = coord[a].reshape(1, _LANE) - ptab[:, a + 1:a + 2]
+def _vec_divide_probes(ktS, liveS, coordS, bidxS, ptab, stride,
+                       table_dims):
+    """Stacked IN→OUT probes (stride divisibility) [G,128]."""
+    nd = len(table_dims)
+    ok = liveS & (ptab[:, nd + 1:nd + 2] > 0)
+    key = bidxS
+    for a in range(nd):
+        ta = coordS[a] - ptab[:, a + 1:a + 2]
         sa = int(stride[a])
         ca = jax.lax.div(ta, np.int32(sa))
         ok = (ok & (ta >= 0) & (jax.lax.rem(ta, np.int32(sa)) == 0)
@@ -309,28 +321,33 @@ def _vec_divide_probes(kt, live, coord, bidx, ptab, stride, table_dims,
 
 
 # ---------------------------------------------------------------------------
-# forward kernel (v2: per-tile plane-batched DMA, one stacked search)
+# forward kernel (v3: R-row supertiles — R 128-lane rows per grid step
+# share plane windows; probes stack [R·gs, 128]; gathers run per packed
+# channel row; gbuf blocks stay 8-aligned; R deep GEMMs per step.
+# R amortizes per-step fixed costs AND window reach: the per-voxel
+# search/gather work scales with wch/R ≈ (R·128·density + reach)/(R·128).
 # ---------------------------------------------------------------------------
 
 def _dg_fwd_kernel(
-    kv, c_sub, k_sub, vprobe_fn, dims, sentinel, groups, n_tiles,
+    kv, c_sub, k_sub, R, vprobe_fn, dims, sentinel, groups, n_tiles,
     window, comp_dtype, packmode, act, have_add, add_scale,
     # scalar prefetch
     ws_ref, nw_ref,
     # inputs
-    kt_ref,      # [1, 1, 128] int32 — this tile's OUTPUT keys
-    ptab_ref,    # [gs, 128] int32 per-offset constants (make_ptab)
+    kt_ref,      # [1, R, 128] int32 — this supertile's OUTPUT keys
+    ptab_ref,    # [R*gs, 128] int32 per-offset constants (make_ptab)
     ksh_hbm,     # [nc, _KROWS, 128] int32 chunked key table
     feat_hbm,    # [nc, cg, 128] chunked feature table (i32 packed / f32)
-    w_ref,       # [k_sub, kv*c_sub] comp_dtype (int8 in q4 mode)
+    w_ref,       # [k_sub, c_sub*gs] comp_dtype (int8 in q4 mode),
+                 #   column (cc*gs + k) = W[offset k, perm channel cc]
     *rest,
     # q4 mode only: scb_ref [2, k_sub, 128] f32 (scale row 0, bias row 1)
-    #               add_ref [1, k_sub, 128] int8 (when have_add)
-    # then: out_ref [1, k_sub, 128]
+    #               add_ref [1, k_sub, R*128] int8 (when have_add)
+    # then: out_ref [1, k_sub, R*128]
     # scratch: wk_ref [2, P, wch, _KROWS, 128] i32;
     #          wf_ref [2, P, wch, cg, 128] table dtype;
     #          wk1_ref/wf1_ref single-window sweep buffers;
-    #          gbuf_ref [kv*c_sub, 128] comp_dtype; 4 DMA semaphores
+    #          gbuf_ref [R*c_sub*gs, 128] comp_dtype; 4 DMA semaphores
 ):
     i = 0
     scb_ref = add_ref = None
@@ -346,36 +363,14 @@ def _dg_fwd_kernel(
 
     t = pl.program_id(0)
     P = len(groups)
+    gp = kv // P  # include_center groups are uniform contiguous ranges
     wch = window // _LANE
     gs = _round_up(kv, 8)
+    G = R * gs
+    blk = c_sub * gs
     # gather width: packed modes ride bf16 channel PAIRS / int8 channel
     # QUADS on int32 lanes
     cg = {"pack2": c_sub // 2, "q4": c_sub // 4}.get(packmode, c_sub)
-
-    def gather_write(chunks, pos, found, k, accumulate):
-        """Gather offset ``k``'s matched columns from window ``chunks``
-        and write/accumulate gbuf rows ``[k*c_sub, (k+1)*c_sub)``."""
-        idx = jnp.broadcast_to(pos[k:k + 1], (cg, _LANE))
-        fnd = jnp.broadcast_to(found[k:k + 1], (cg, _LANE))
-        acc = jnp.zeros((cg, _LANE), chunks[0].dtype)
-        for j in range(wch):
-            within = jnp.clip(idx - j * _LANE, 0, _LANE - 1)
-            fj = jnp.take_along_axis(chunks[j], within, axis=1)
-            acc = jnp.where(((idx // _LANE) == j) & fnd, fj, acc)
-        r0 = k * c_sub
-        if packmode == "pack2":
-            lo, hi = _unpack_pair(acc)
-            parts = [(r0, lo), (r0 + cg, hi)]
-        elif packmode == "q4":
-            parts = [(r0 + s * cg, v)
-                     for s, v in enumerate(_unpack_quad(acc))]
-        else:
-            parts = [(r0, acc)]
-        for r, v in parts:
-            if accumulate:
-                gbuf_ref[r:r + cg, :] += v.astype(gbuf_ref.dtype)
-            else:
-                gbuf_ref[r:r + cg, :] = v.astype(gbuf_ref.dtype)
 
     def start_tile(tt, buf):
         for p in range(P):
@@ -406,60 +401,106 @@ def _dg_fwd_kernel(
                 feat_hbm.at[pl.ds(0, wch)], wf_ref.at[0, p],
                 fsems.at[buf, p]).wait()
 
-    kt = kt_ref[0, 0]
-    live = kt != sentinel
+    def stack_rows(build_one):
+        """[G,128] from a per-supertile-row builder (r → [gs,128])."""
+        rows = [build_one(r) for r in range(R)]
+        return jnp.concatenate(rows, axis=0) if R > 1 else rows[0]
+
+    ktS = stack_rows(lambda r: jnp.broadcast_to(
+        kt_ref[0, r:r + 1, :], (gs, _LANE)))
+    liveS = ktS != sentinel
     if _ABLATE == "noprobe":
-        probes = jnp.broadcast_to(kt.reshape(1, _LANE), (gs, _LANE))
+        probes = ktS
     else:
-        coord, bidx = _probe_coords(kt, dims)
-        probes = vprobe_fn(kt, live, coord, bidx, ptab_ref[:])  # [gs, 128]
+        coordS, bidxS = _probe_coords(ktS, dims)
+        probes = vprobe_fn(ktS, liveS, coordS, bidxS, ptab_ref[:])
 
     # rows of a plane whose window is absent match nothing.  Built with
     # iota + scalar selects: Mosaic rejects concatenation of i1 vectors
     # ("Invalid vector register cast" on vector<8x128xi1>).
-    rowi = jax.lax.broadcasted_iota(jnp.int32, (gs, 1), 0)
-    pnw = jnp.zeros((gs, 1), jnp.int32)
-    for p, grp in enumerate(groups):
-        in_p = (rowi >= grp[0]) & (rowi <= grp[-1])
+    rowk = jax.lax.rem(
+        jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0), np.int32(gs))
+    pnw = jnp.zeros((G, 1), jnp.int32)
+    for p in range(P):
+        in_p = (rowk >= p * gp) & (rowk < (p + 1) * gp)
         pnw = jnp.where(in_p, nw_ref[p, t], pnw)
     probes = jnp.where(pnw > 0, probes, np.int32(-1))
 
-    def stacked_keys(chunk_rows):
-        """Per-row window key chunks [gs,128] (row k ← its plane's
-        window chunk).  ``chunk_rows[p][j]``: [1,128] key row."""
-        out = []
-        for j in range(wch):
-            rows = [jnp.broadcast_to(chunk_rows[p][j],
-                                     (len(grp), _LANE))
-                    for p, grp in enumerate(groups)]
-            if gs > kv:
-                rows.append(jnp.full((gs - kv, _LANE),
-                                     np.int32(2**31 - 1), jnp.int32))
-            out.append(jnp.concatenate(rows, axis=0)
-                       if len(rows) > 1 else rows[0])
-        return out
+    big = np.int32(2**31 - 1)
 
-    if _ABLATE in ("nosearch", "bare"):
-        pos = jnp.broadcast_to(
-            jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1),
-            (gs, _LANE))
-        found = probes >= 0
-    else:
-        pos, found = _search_window(
-            stacked_keys([[wk_ref[buf, p, j, 0:1, :] for j in range(wch)]
-                          for p in range(P)]), probes, window)
+    def stacked_chunk(rows_per_plane, pad_value):
+        """[G,128] per-offset-row view of P per-plane [1,128] rows:
+        rows of plane p's offsets see ``rows_per_plane[p]``; the gs
+        padding rows see ``pad_value``."""
+        pieces = [jnp.broadcast_to(rows_per_plane[p], (gp, _LANE))
+                  for p in range(P)]
+        if gs > kv:
+            pieces.append(jnp.full((gs - kv, _LANE), pad_value,
+                                   rows_per_plane[0].dtype))
+        inner = (jnp.concatenate(pieces, axis=0) if len(pieces) > 1
+                 else pieces[0])
+        return (jnp.concatenate([inner] * R, axis=0) if R > 1
+                else inner)
 
-    if _ABLATE in ("nogather", "bare"):
-        # fill gbuf from pos rows (garbage values, keeps the search live)
-        rep = -(-gbuf_ref.shape[0] // gs)
-        stack = jnp.concatenate(
-            [pos.astype(gbuf_ref.dtype)] * rep, axis=0)
-        gbuf_ref[:] = stack[:gbuf_ref.shape[0]]
-    else:
-        for p, grp in enumerate(groups):
-            chunks = [wf_ref[buf, p, j] for j in range(wch)]
-            for k in grp:
-                gather_write(chunks, pos, found, k, accumulate=False)
+    def gather_all(get_key_row, get_feat_row, accumulate):
+        """One full search+gather pass against the current windows.
+
+        ``get_key_row(p, j)`` / ``get_feat_row(p, j, craw)`` return the
+        [1,128] window key row / packed feature row of plane p, chunk j.
+        Writes (or accumulates) every gbuf block."""
+        if _ABLATE in ("nosearch", "bare"):
+            pos = jnp.broadcast_to(
+                jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1),
+                (G, _LANE))
+            found = probes >= 0
+        else:
+            wkS = [stacked_chunk([get_key_row(p, j) for p in range(P)],
+                                 big)
+                   for j in range(wch)]
+            pos, found = _search_window(wkS, probes, window)
+
+        if _ABLATE in ("nogather", "bare"):
+            rep = -(-gbuf_ref.shape[0] // G)
+            stack = jnp.concatenate(
+                [pos.astype(gbuf_ref.dtype)] * rep, axis=0)
+            gbuf_ref[:] = stack[:gbuf_ref.shape[0]]
+            return
+
+    # zero of the packed table dtype is also the packed zero, so the
+    # miss value is correct pre- and post-unpack
+        for craw in range(cg):
+            acc = None
+            for j in range(wch):
+                fj = stacked_chunk(
+                    [get_feat_row(p, j, craw) for p in range(P)],
+                    np.int32(0) if packmode in ("pack2", "q4")
+                    else np.float32(0))
+                within = jnp.clip(pos - j * _LANE, 0, _LANE - 1)
+                g = jnp.take_along_axis(fj, within, axis=1)
+                g = jnp.where(((pos // _LANE) == j) & found, g,
+                              jnp.zeros_like(g))
+                acc = g if acc is None else acc + g
+            if packmode == "pack2":
+                parts = _unpack_pair(acc)
+            elif packmode == "q4":
+                parts = _unpack_quad(acc)
+            else:
+                parts = [acc]
+            for s, v in enumerate(parts):
+                cc = s * cg + craw
+                vv = v.astype(gbuf_ref.dtype)
+                for r in range(R):
+                    dst = slice(r * blk + cc * gs,
+                                r * blk + (cc + 1) * gs)
+                    src = vv[r * gs:(r + 1) * gs, :]
+                    if accumulate:
+                        gbuf_ref[dst, :] += src
+                    else:
+                        gbuf_ref[dst, :] = src
+
+    gather_all(lambda p, j: wk_ref[buf, p, j, 0:1, :],
+               lambda p, j, craw: wf_ref[buf, p, j, craw:craw + 1, :],
+               accumulate=False)
 
     # rare extra windows: per-plane serial sweep
     if _ABLATE in ("nodma", "nosweep", "bare"):
@@ -472,9 +513,9 @@ def _dg_fwd_kernel(
     @pl.when(mx > 1)
     def _():
         def sweep(wi, carry):
-            for p, grp in enumerate(groups):
+            for p in range(P):
                 @pl.when(wi < nw_ref[p, t])
-                def _(p=p, grp=grp):
+                def _(p=p):
                     c0 = ws_ref[p, t] // _LANE + wi * wch
                     pltpu.make_async_copy(
                         ksh_hbm.at[pl.ds(c0, wch)], wk1_ref,
@@ -488,60 +529,52 @@ def _dg_fwd_kernel(
                     pltpu.make_async_copy(
                         feat_hbm.at[pl.ds(0, wch)], wf1_ref,
                         fsem1).wait()
-                    # rows of OTHER planes see sentinel windows → no match
-                    wkS = []
-                    for j in range(wch):
-                        rows = []
-                        for q, g2 in enumerate(groups):
-                            if q == p:
-                                rows.append(jnp.broadcast_to(
-                                    wk1_ref[j, 0:1, :],
-                                    (len(g2), _LANE)))
-                            else:
-                                rows.append(jnp.full(
-                                    (len(g2), _LANE),
-                                    np.int32(2**31 - 1), jnp.int32))
-                        if gs > kv:
-                            rows.append(jnp.full(
-                                (gs - kv, _LANE), np.int32(2**31 - 1),
-                                jnp.int32))
-                        wkS.append(jnp.concatenate(rows, axis=0))
-                    pos1, found1 = _search_window(wkS, probes, window)
-                    ch1 = [wf1_ref[j] for j in range(wch)]
-                    for k in grp:
-                        gather_write(ch1, pos1, found1, k,
-                                     accumulate=True)
+
+                    # rows of OTHER planes see sentinel keys → no match
+                    def key_row(q, j, p=p):
+                        if q == p:
+                            return wk1_ref[j, 0:1, :]
+                        return jnp.full((1, _LANE), big, jnp.int32)
+
+                    def feat_row(q, j, craw, p=p):
+                        return wf1_ref[j, craw:craw + 1, :]
+
+                    gather_all(key_row, feat_row, accumulate=True)
             return carry
 
         jax.lax.fori_loop(1, mx, sweep, 0)
 
-    if _ABLATE == "nogemm":
-        out_ref[0] = jnp.broadcast_to(
-            gbuf_ref[0:1, :], (k_sub, _LANE)).astype(out_ref.dtype)
-    elif packmode == "q4":
-        # int8 × int8 → int32 MXU GEMM with the fused scale/bias/act/
-        # residual/requant epilogue (parity: the reference int8
-        # implicit_gemm epilogue, ops.py:1465-1525)
-        acc = jnp.dot(w_ref[:], gbuf_ref[:],
-                      preferred_element_type=jnp.int32)
-        y = acc.astype(jnp.float32) * scb_ref[0] + scb_ref[1]
-        if have_add:
-            y = y + add_ref[0].astype(jnp.float32) * add_scale
-        if act == "relu":
-            y = jnp.maximum(y, 0.0)
-        if out_ref.dtype == jnp.int8:
-            y = jnp.clip(jnp.round(y), -127.0, 127.0)
-        out_ref[0] = y.astype(out_ref.dtype)
-    else:
-        out = jnp.dot(w_ref[:], gbuf_ref[:],
-                      preferred_element_type=jnp.float32)
-        out_ref[0] = out.astype(out_ref.dtype)
+    for r in range(R):
+        gslice = gbuf_ref[r * blk:(r + 1) * blk, :]
+        lanes = slice(r * _LANE, (r + 1) * _LANE)
+        if _ABLATE == "nogemm":
+            out_ref[0, :, lanes] = jnp.broadcast_to(
+                gslice[0:1, :], (k_sub, _LANE)).astype(out_ref.dtype)
+        elif packmode == "q4":
+            # int8 × int8 → int32 MXU GEMM with the fused scale/bias/
+            # act/residual/requant epilogue (parity: the reference int8
+            # implicit_gemm epilogue, ops.py:1465-1525)
+            acc = jnp.dot(w_ref[:], gslice,
+                          preferred_element_type=jnp.int32)
+            y = acc.astype(jnp.float32) * scb_ref[0] + scb_ref[1]
+            if have_add:
+                y = y + add_ref[0][:, lanes].astype(jnp.float32) \
+                    * add_scale
+            if act == "relu":
+                y = jnp.maximum(y, 0.0)
+            if out_ref.dtype == jnp.int8:
+                y = jnp.clip(jnp.round(y), -127.0, 127.0)
+            out_ref[0, :, lanes] = y.astype(out_ref.dtype)
+        else:
+            out = jnp.dot(w_ref[:], gslice,
+                          preferred_element_type=jnp.float32)
+            out_ref[0, :, lanes] = out.astype(out_ref.dtype)
 
 
 def _dg_conv_call(
     table_feats, table_keys, tile_keys, weight_kv, plan, ptab,
     *, vprobe_builder, decode_dims, sentinel_tile, groups,
-    window, out_dtype, interpret=False,
+    window, out_dtype, rows=1, interpret=False,
 ):
     """Shared DG forward invocation.
 
@@ -551,7 +584,9 @@ def _dg_conv_call(
     bidx).  Returns ``[N_out, K]`` in ``out_dtype``."""
     kv, c, k_ch = weight_kv.shape
     k_sub = _round_up(k_ch, 8)
-    tile = _LANE
+    gs = _round_up(kv, 8)
+    R = int(rows)
+    tile = R * _LANE
     n_out = tile_keys.shape[0]
     n_tiles = -(-n_out // tile)
     np_t = n_tiles * tile
@@ -576,12 +611,14 @@ def _dg_conv_call(
     else:
         feat_ch = chunk_table(table_feats, n_pad, c_sub)
     tile_keys_p = _pad_rows(tile_keys, np_t, sentinel_tile)
-    keys_tiles = tile_keys_p.reshape(n_tiles, 1, tile)
+    keys_tiles = tile_keys_p.reshape(n_tiles, R, _LANE)
 
-    # C axis permuted to the packed unpack order ([even | odd])
-    wpad = jnp.pad(weight_kv, ((0, 0), (0, c_sub - c), (0, k_sub - k_ch)))
+    # C axis permuted to the packed unpack order ([even | odd]);
+    # column order (cc*gs + k) matches the kernel's gbuf blocks
+    wpad = jnp.pad(weight_kv,
+                   ((0, gs - kv), (0, c_sub - c), (0, k_sub - k_ch)))
     wpad = wpad[:, perm_c, :]
-    wflat = jnp.transpose(wpad, (2, 0, 1)).reshape(k_sub, kv * c_sub)
+    wflat = jnp.transpose(wpad, (2, 1, 0)).reshape(k_sub, c_sub * gs)
 
     wch = window // _LANE
     P = len(groups)
@@ -590,21 +627,22 @@ def _dg_conv_call(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, 1, tile), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((1, R, _LANE), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, k_sub, _LANE), lambda t, *_: (t, 0, 0),
+        out_specs=pl.BlockSpec((1, k_sub, R * _LANE),
+                               lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, P, wch, _KROWS, _LANE), jnp.int32),
             pltpu.VMEM((2, P, wch, cg, _LANE), ftab_dtype),
             pltpu.VMEM((wch, _KROWS, _LANE), jnp.int32),
             pltpu.VMEM((wch, cg, _LANE), ftab_dtype),
-            pltpu.VMEM((kv * c_sub, _LANE), comp_dtype),
+            pltpu.VMEM((R * c_sub * gs, _LANE), comp_dtype),
             pltpu.SemaphoreType.DMA((2, P)),
             pltpu.SemaphoreType.DMA((2, P)),
             pltpu.SemaphoreType.DMA,
@@ -612,14 +650,14 @@ def _dg_conv_call(
         ],
     )
     kernel = functools.partial(
-        _dg_fwd_kernel, kv, c_sub, k_sub, vprobe_builder,
+        _dg_fwd_kernel, kv, c_sub, k_sub, R, vprobe_builder,
         tuple(decode_dims), sentinel_tile, groups, n_tiles, window,
         comp_dtype, "pack2" if packed else "f32", "none", False, 0.0,
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, k_sub, _LANE),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, k_sub, R * _LANE),
                                        out_dtype),
         interpret=interpret,
     )(plan.ws, plan.nw, keys_tiles, ptab, ksh, feat_ch,
@@ -631,14 +669,16 @@ def _dg_conv_call_q(
     table_feats_i8, table_keys, tile_keys, weight_kv_i8, plan, ptab,
     *, vprobe_builder, decode_dims, sentinel_tile, groups, window,
     scale, bias, act, out_dtype, add_features=None, add_scale=1.0,
-    interpret=False,
+    rows=1, interpret=False,
 ):
     """int8 DG forward: quad-packed gather (4 int8 channels per int32
     lane), int8×int8→int32 deep GEMM, fused scale/bias/act/residual/
     requant epilogue.  Returns ``[N_out, K]`` in ``out_dtype``."""
     kv, c, k_ch = weight_kv_i8.shape
     k_sub = _round_up(k_ch, 32)  # int8 sublane tiling is (32, 128)
-    tile = _LANE
+    gs = _round_up(kv, 8)
+    R = int(rows)
+    tile = R * _LANE
     n_out = tile_keys.shape[0]
     n_tiles = -(-n_out // tile)
     np_t = n_tiles * tile
@@ -652,12 +692,12 @@ def _dg_conv_call_q(
     ksh = chunk_keys(table_keys, n_pad, sentinel_tile)
     feat_ch = chunk_table_packed4(table_feats_i8, n_pad, cq)
     tile_keys_p = _pad_rows(tile_keys, np_t, sentinel_tile)
-    keys_tiles = tile_keys_p.reshape(n_tiles, 1, tile)
+    keys_tiles = tile_keys_p.reshape(n_tiles, R, _LANE)
 
     wpad = jnp.pad(weight_kv_i8,
-                   ((0, 0), (0, c_sub - c), (0, k_sub - k_ch)))
+                   ((0, gs - kv), (0, c_sub - c), (0, k_sub - k_ch)))
     wpad = wpad[:, perm_c, :]
-    wflat = jnp.transpose(wpad, (2, 0, 1)).reshape(k_sub, kv * c_sub)
+    wflat = jnp.transpose(wpad, (2, 1, 0)).reshape(k_sub, c_sub * gs)
 
     scale_p = jnp.pad(jnp.asarray(scale, jnp.float32), (0, k_sub - k_ch))
     bias_p = (jnp.pad(jnp.asarray(bias, jnp.float32), (0, k_sub - k_ch))
@@ -671,7 +711,7 @@ def _dg_conv_call_q(
     wch = window // _LANE
     P = len(groups)
     in_specs = [
-        pl.BlockSpec((1, 1, tile), lambda t, *_: (t, 0, 0),
+        pl.BlockSpec((1, R, _LANE), lambda t, *_: (t, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pl.ANY),
@@ -683,12 +723,13 @@ def _dg_conv_call_q(
     args = [plan.ws, plan.nw, keys_tiles, ptab, ksh, feat_ch, wflat, scb]
     if have_add:
         # residual rows align 1:1 with output tile rows (subm add);
-        # transposed to the kernel's [k_sub, 128] out layout
+        # transposed to the kernel's [k_sub, R*128] out layout
         ap = _pad_lanes(_pad_rows(add_features, np_t, 0), k_sub)
         add_ch = jnp.transpose(
-            ap.reshape(n_tiles, _LANE, k_sub), (0, 2, 1))
+            ap.reshape(n_tiles, R * _LANE, k_sub), (0, 2, 1))
         in_specs.append(
-            pl.BlockSpec((1, k_sub, _LANE), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((1, k_sub, R * _LANE),
+                         lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM))
         args.append(add_ch)
 
@@ -696,14 +737,15 @@ def _dg_conv_call_q(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, k_sub, _LANE), lambda t, *_: (t, 0, 0),
+        out_specs=pl.BlockSpec((1, k_sub, R * _LANE),
+                               lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, P, wch, _KROWS, _LANE), jnp.int32),
             pltpu.VMEM((2, P, wch, cq, _LANE), jnp.int32),
             pltpu.VMEM((wch, _KROWS, _LANE), jnp.int32),
             pltpu.VMEM((wch, cq, _LANE), jnp.int32),
-            pltpu.VMEM((kv * c_sub, _LANE), jnp.int8),
+            pltpu.VMEM((R * c_sub * gs, _LANE), jnp.int8),
             pltpu.SemaphoreType.DMA((2, P)),
             pltpu.SemaphoreType.DMA((2, P)),
             pltpu.SemaphoreType.DMA,
@@ -711,14 +753,14 @@ def _dg_conv_call_q(
         ],
     )
     kernel = functools.partial(
-        _dg_fwd_kernel, kv, c_sub, k_sub, vprobe_builder,
+        _dg_fwd_kernel, kv, c_sub, k_sub, R, vprobe_builder,
         tuple(decode_dims), sentinel_tile, groups, n_tiles, window,
         jnp.int8, "q4", act, have_add, float(add_scale),
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, k_sub, _LANE),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, k_sub, R * _LANE),
                                        out_dtype),
         interpret=interpret,
     )(*args)
@@ -740,6 +782,7 @@ def dg_subm_conv_q(
     add_features: Optional[jax.Array] = None,  # [N, K] int8 residual
     add_scale: float = 1.0,   # add_in_scale / out_scale
     window: int = 384,
+    rows_per_tile: int = 1,
     plans: Optional[Tuple[SKPlan, SKPlan]] = None,
     interpret: bool = False,
 ) -> jax.Array:
@@ -760,22 +803,23 @@ def dg_subm_conv_q(
     dims = tuple(int(s) for s in spatial_shape)
     sentinel = int(np.prod(dims)) * int(batch_size)
     n = keys.shape[0]
-    np_t, n_pad = _n_pad_for(n, _LANE, window)
+    R = int(rows_per_tile)
+    np_t, n_pad = _n_pad_for(n, R * _LANE, window)
     if plans is None:
         keys_p = _pad_rows(keys, np_t, sentinel)
         plans = build_sk_plans(
-            keys_p, sentinel, deltas_np, groups, tile=_LANE,
+            keys_p, sentinel, deltas_np, groups, tile=R * _LANE,
             window=window, n_pad=n_pad, align=_LANE,
         )
     gs = _round_up(kv, 8)
-    vprobe = functools.partial(_vec_shift_probes, dims=dims, kv=kv, gs=gs)
+    vprobe = functools.partial(_vec_shift_probes, dims=dims)
     return _dg_conv_call_q(
         features_i8, keys, keys, weight_kv, plans[0],
-        make_ptab(deltas_np, disp_np, gs),
+        make_ptab(deltas_np, disp_np, gs, rows=R),
         vprobe_builder=vprobe, decode_dims=dims, sentinel_tile=sentinel,
         groups=groups, window=window, scale=scale, bias=bias, act=act,
         out_dtype=out_dtype, add_features=add_features,
-        add_scale=add_scale, interpret=interpret,
+        add_scale=add_scale, rows=R, interpret=interpret,
     )
 
 
@@ -832,7 +876,7 @@ def dg_regular_conv_q(
     gs = _round_up(kv, 8)
     vprobe = functools.partial(
         _vec_affine_probes, stride=tuple(int(v) for v in stride),
-        table_dims=in_dims, kv=kv, gs=gs)
+        table_dims=in_dims)
     out = _dg_conv_call_q(
         features_i8, in_keys, out_keys, weight_kv, plan_io,
         make_ptab(None, disp, gs),
@@ -1108,6 +1152,7 @@ class _DGGeom(NamedTuple):
     window: int
     groups: tuple
     interpret: bool
+    rows: int = 1
 
 
 def _geom_deltas(geom: "_DGGeom"):
@@ -1123,15 +1168,15 @@ def _dg_conv(features, keys, weight_kv, plans, geom: _DGGeom):
     kv = len(geom.deltas_key)
     gs = _round_up(kv, 8)
     deltas, disp = _geom_deltas(geom)
-    vprobe = functools.partial(_vec_shift_probes, dims=geom.dims,
-                               kv=kv, gs=gs)
+    vprobe = functools.partial(_vec_shift_probes, dims=geom.dims)
     return _dg_conv_call(
         features, keys, keys, weight_kv, plan_fwd,
-        make_ptab(deltas, disp, gs),
+        make_ptab(deltas, disp, gs, rows=geom.rows),
         vprobe_builder=vprobe,
         decode_dims=geom.dims, sentinel_tile=geom.sentinel,
         groups=geom.groups, window=geom.window,
-        out_dtype=features.dtype, interpret=geom.interpret,
+        out_dtype=features.dtype, rows=geom.rows,
+        interpret=geom.interpret,
     )
 
 
@@ -1172,6 +1217,7 @@ def dg_subm_conv(
     batch_size: int,
     dilation: Sequence[int],
     window: int = 384,
+    rows_per_tile: int = 1,
     plans: Optional[Tuple[SKPlan, SKPlan]] = None,
     interpret: bool = False,
 ) -> jax.Array:
@@ -1179,7 +1225,11 @@ def dg_subm_conv(
 
     Requires statically-sorted input (``SparseConvTensor.keys_sorted``);
     no dynamic fallback branch exists.  Differentiable with a fused
-    dgrad+wgrad backward."""
+    dgrad+wgrad backward.  ``rows_per_tile`` (R) processes R 128-lane
+    rows per grid step over shared plane windows — per-voxel search and
+    gather cost scales with window/(R·128), amortizing the kernel reach
+    (the narrow-channel lever; the fwd plan is built at tile R·128, the
+    bwd plan stays at 128)."""
     ksize = tuple(int(k) for k in weight.shape[1:-1])
     dilation = tuple(int(d) for d in dilation)
     k_out = weight.shape[0]
@@ -1196,20 +1246,30 @@ def dg_subm_conv(
     dims = tuple(int(s) for s in spatial_shape)
     sentinel = int(np.prod(dims)) * int(batch_size)
     n = keys.shape[0]
-    np_t, n_pad = _n_pad_for(n, _LANE, window)
+    R = int(rows_per_tile)
 
     if plans is None:
+        np_t, n_pad = _n_pad_for(n, R * _LANE, window)
         keys_p = _pad_rows(keys, np_t, sentinel)
         plans = build_sk_plans(
-            keys_p, sentinel, deltas_np, groups, tile=_LANE,
+            keys_p, sentinel, deltas_np, groups, tile=R * _LANE,
             window=window, n_pad=n_pad, align=_LANE,
         )
+        if R > 1:
+            # the fused backward tiles 128 rows — its plan keeps tile 128
+            np_t1, n_pad1 = _n_pad_for(n, _LANE, window)
+            keys_p1 = _pad_rows(keys, np_t1, sentinel)
+            _, plan_bwd = build_sk_plans(
+                keys_p1, sentinel, deltas_np, groups, tile=_LANE,
+                window=window, n_pad=n_pad1, align=_LANE,
+            )
+            plans = (plans[0], plan_bwd)
 
     geom = _DGGeom(
         deltas_key=tuple(int(d) for d in deltas_np),
         disp=tuple(int(v) for v in disp_np.reshape(-1)),
         dims=dims, sentinel=sentinel, window=window, groups=groups,
-        interpret=interpret,
+        interpret=interpret, rows=R,
     )
     return _dg_conv(features, keys, weight_kv, plans, geom)
 
@@ -1247,7 +1307,7 @@ def _dg_reg_conv(features, in_keys, out_keys, weight_kv, plans,
     if not geom.inverse:
         vprobe = functools.partial(
             _vec_affine_probes, stride=geom.stride,
-            table_dims=geom.in_dims, kv=kv, gs=gs)
+            table_dims=geom.in_dims)
         return _dg_conv_call(
             features, in_keys, out_keys, weight_kv, plan_io, ptab,
             vprobe_builder=vprobe,
@@ -1257,7 +1317,7 @@ def _dg_reg_conv(features, in_keys, out_keys, weight_kv, plans,
         )
     vprobe = functools.partial(
         _vec_divide_probes, stride=geom.stride,
-        table_dims=geom.out_dims, kv=kv, gs=gs)
+        table_dims=geom.out_dims)
     return _dg_conv_call(
         features, out_keys, in_keys, weight_kv, plan_oi, ptab,
         vprobe_builder=vprobe,
@@ -1378,9 +1438,9 @@ class DGData:
         self.window = int(window)
 
     @staticmethod
-    def cache_key(indice_key, ksize, dilation, window) -> str:
+    def cache_key(indice_key, ksize, dilation, window, rows=1) -> str:
         return (f"__dg__{indice_key}/{tuple(ksize)}/{tuple(dilation)}"
-                f"/w{window}")
+                f"/w{window}/r{rows}")
 
 
 def _dgdata_flatten(obj):

@@ -165,10 +165,13 @@ class QuantizedSparseConv(Module):
         bias_q = (self.bias / self.output_scale
                   if self.bias is not None else None)
         if fused_ok and cfg.subm:
-            from ..ops.pallas.dg_conv import dg_subm_conv_q
+            from ..ops.pallas.dg_conv import (
+                dg_rows_for, dg_subm_conv_q, dg_window_for)
 
             keys, _ = _C.linearize(x.indices, x.spatial_shape,
                                    x.batch_size)
+            rows = dg_rows_for(self.weight_i8.shape[-1],
+                               self.weight_i8.shape[0])
             q = dg_subm_conv_q(
                 x.features, keys, self.weight_i8, scale, bias_q,
                 spatial_shape=tuple(int(v) for v in x.spatial_shape),
@@ -177,6 +180,7 @@ class QuantizedSparseConv(Module):
                 add_features=(add_input.features
                               if add_input is not None else None),
                 add_scale=float(add_scale) / self.output_scale,
+                window=dg_window_for(rows), rows_per_tile=rows,
             )
             valid = x.indices[:, 0] >= 0
             q = jnp.where(valid[:, None], q, 0)

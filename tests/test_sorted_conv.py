@@ -551,3 +551,38 @@ def test_dg_int8_regular_strided(rng):
     valid = np.asarray(data.out_indices[:, 0] >= 0)[order]
     np.testing.assert_array_equal(np.asarray(out)[valid],
                                   ref_sorted[valid])
+
+
+def test_dg_rows_supertile_sweeps(rng):
+    """R-row supertiles with a deliberately tiny window so the serial
+    multi-window sweep path runs — vs the native gather path."""
+    import spconv_tpu
+    from spconv_tpu.ops import coords as C
+    from spconv_tpu.ops.pallas import sorted_conv as SK
+    from spconv_tpu.ops.pallas.dg_conv import dg_subm_conv
+
+    shape = (6, 17, 23)
+    c = k_out = 8
+    feats, inds = _sorted_input(rng, shape, 900, c, 1024)
+    keys, sent = _keys_of(inds, shape, 1)
+    w = jnp.asarray(rng.randn(k_out, 3, 3, 3, c).astype(np.float32) * .2)
+
+    R, W = 4, 128  # window far below the supertile span → nw > 1
+    deltas_np, _ = SK.subm_key_deltas((3, 3, 3), (1, 1, 1), shape)
+    groups = SK.sk_groups((3, 3, 3), include_center=True)
+    np_t, n_pad = SK._n_pad_for(keys.shape[0], 128 * R, W)
+    plans = SK.build_sk_plans(
+        SK._pad_rows(keys, np_t, sent), sent, deltas_np, groups,
+        tile=128 * R, window=W, n_pad=n_pad, align=128)
+    assert int(np.max(np.asarray(plans[0].nw))) > 1  # sweeps exercised
+
+    out = dg_subm_conv(feats, keys, w, spatial_shape=shape,
+                       batch_size=1, dilation=(1, 1, 1), window=W,
+                       rows_per_tile=R, plans=plans, interpret=True)
+
+    m = spconv_tpu.SubMConv3d(c, k_out, 3, bias=False, algo="native")
+    m = m.replace(weight=w)
+    x = spconv_tpu.SparseConvTensor(feats, inds, shape, 1)
+    ref = m(x).features
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)

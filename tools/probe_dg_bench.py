@@ -158,6 +158,31 @@ def main():
 
         run_case(f"DG int8 subm C=K={c}", chain_q, fi8, wi8)
 
+        # R-row supertile sweep (shared plane windows; fwd only)
+        from spconv_tpu.ops.pallas.dg_conv import dg_window_for
+        for R in (2, 4, 8):
+            WR = dg_window_for(R)
+            np_tR, n_padR = _n_pad_for(inds.shape[0], 128 * R, WR)
+            plans_R = jax.jit(lambda kk, R=R, WR=WR, np_tR=np_tR,
+                              n_padR=n_padR: build_sk_plans(
+                _pad_rows(kk, np_tR, sent), sent, deltas_np, groups,
+                tile=128 * R, window=WR, n_pad=n_padR,
+                align=128))(keys_j)
+
+            def chain_dg_R(f0, w_, R=R, WR=WR, plans_R=plans_R):
+                def body(i, acc):
+                    f = f0 * (1.0 + 0.0 * acc).astype(f0.dtype)
+                    o = dg_subm_conv(f, keys_j, w_, spatial_shape=ss,
+                                     batch_size=1, dilation=(1, 1, 1),
+                                     window=WR, rows_per_tile=R,
+                                     plans=(plans_R[0], plans_c[1]))
+                    return jnp.sum(o.astype(jnp.float32))
+                return jax.lax.fori_loop(0, REP, body, jnp.float32(0))
+
+            r3 = run_case(f"DG subm R={R} W={WR} C=K={c}", chain_dg_R,
+                          feats, w)
+            print(f"  sum R={R}: {float(r3):.1f} (R=1: {float(r1):.1f})")
+
 
 if __name__ == "__main__":
     main()
