@@ -839,12 +839,15 @@ def dg_regular_conv_q(
     dilation: Sequence[int],
     act: str = "none",
     out_dtype=jnp.int8,
+    inverse: bool = False,
     window: int = 384,
     plans=None,
     interpret: bool = False,
 ):
-    """int8 dynamic-gather regular (strided) conv with fused epilogue.
-    Output sites must be precomputed (``out_keys``); returns
+    """int8 dynamic-gather regular (strided) / inverse conv with fused
+    epilogue.  Output sites must be precomputed (``out_keys``); for
+    ``inverse`` the features live at ``out_keys`` (the encoder's output
+    sites) and results land on ``in_keys``.  Returns
     ``(out_features, plans)``."""
     from .sorted_conv import _SKRegGeom, build_sk_reg_plans
 
@@ -868,12 +871,26 @@ def dg_regular_conv_q(
             disp=tuple(int(v) for v in disp.reshape(-1)),
             in_dims=in_dims, out_dims=out_dims, sent_in=sent_in,
             sent_out=sent_out, tile=_LANE, window=window,
-            groups=groups, inverse=False, interpret=bool(interpret),
+            groups=groups, inverse=bool(inverse),
+            interpret=bool(interpret),
         )
         plans = build_sk_reg_plans(in_keys, out_keys, sk_geom,
                                    align=_LANE)
-    plan_io, _ = plans
+    plan_io, plan_oi = plans
     gs = _round_up(kv, 8)
+    if inverse:
+        vprobe = functools.partial(
+            _vec_divide_probes, stride=tuple(int(v) for v in stride),
+            table_dims=out_dims)
+        out = _dg_conv_call_q(
+            features_i8, out_keys, in_keys, weight_kv, plan_oi,
+            make_ptab(None, disp, gs),
+            vprobe_builder=vprobe, decode_dims=in_dims,
+            sentinel_tile=sent_in, groups=groups, window=window,
+            scale=scale, bias=bias, act=act, out_dtype=out_dtype,
+            interpret=interpret,
+        )
+        return out, plans
     vprobe = functools.partial(
         _vec_affine_probes, stride=tuple(int(v) for v in stride),
         table_dims=in_dims)

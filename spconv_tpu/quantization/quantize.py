@@ -158,7 +158,6 @@ class QuantizedSparseConv(Module):
             and not _C.use_pair_keys(x.spatial_shape, x.batch_size)
             and (jax.default_backend() != "cpu")
             and not cfg.transposed
-            and not cfg.inverse
         )
         scale = (self.input_scale * self.weight_scale
                  / self.output_scale)
@@ -188,7 +187,33 @@ class QuantizedSparseConv(Module):
                 q, x.indices, x.spatial_shape, x.batch_size,
                 num_voxels=x.num_voxels,
                 indice_dict=dict(x.indice_dict), keys_sorted=True)
-        if fused_ok and add_input is None:
+        if fused_ok and cfg.inverse and add_input is None:
+            from ..ops.pallas.dg_conv import dg_regular_conv_q
+            from ..ops.pallas.sorted_conv import SKRegData
+
+            spatial_shape = tuple(int(v) for v in x.spatial_shape)
+            rec = x.indice_dict.get(f"__dgreg__{cfg.indice_key}")
+            enc_in = x.indice_dict.get(f"__dgreg_in__{cfg.indice_key}")
+            if (isinstance(rec, SKRegData) and not rec.transposed
+                    and rec.ksize == cfg.kernel_size
+                    and rec.out_shape == spatial_shape
+                    and enc_in is not None):
+                q, _ = dg_regular_conv_q(
+                    x.features, rec.in_keys, rec.out_keys,
+                    self.weight_i8, scale, bias_q,
+                    in_shape=rec.in_shape, out_shape=rec.out_shape,
+                    batch_size=x.batch_size, stride=rec.stride,
+                    padding=rec.padding, dilation=rec.dilation,
+                    act=self.act_type, out_dtype=jnp.int8,
+                    inverse=True, window=rec.window, plans=rec.plans)
+                valid = enc_in[:, 0] >= 0
+                q = jnp.where(valid[:, None], q, 0)
+                return SparseConvTensor(
+                    q, enc_in, rec.in_shape, x.batch_size,
+                    num_voxels=jnp.sum(valid.astype(jnp.int32)),
+                    indice_dict=dict(x.indice_dict), keys_sorted=True)
+
+        if fused_ok and not cfg.inverse and add_input is None:
             from ..ops.pallas.dg_conv import dg_regular_conv_q
             from ..ops.pallas.sorted_conv import SKRegData
             from ..ops.rulebook import build_conv_outputs
@@ -241,6 +266,9 @@ class QuantizedSparseConv(Module):
                     in_shape=spatial_shape, out_shape=out_shape,
                     tile=128, window=384, transposed=False,
                     output_padding=cfg.output_padding)
+                # a paired int8 inverse conv outputs THESE input rows
+                out.indice_dict[f"__dgreg_in__{cfg.indice_key}"] = \
+                    x.indices
             return out
 
         if cfg.subm:
@@ -256,6 +284,19 @@ class QuantizedSparseConv(Module):
             out_indices, out_shape = x.indices, x.spatial_shape
             center = kv // 2
             num_out = x.num_voxels
+        elif cfg.inverse:
+            # structural inverse on the gather path: swap pair roles;
+            # outputs are the encoder's inputs (reference conv.py:348-363)
+            data = x.find_indice_pair(cfg.indice_key)
+            assert data is not None and not data.is_subm, (
+                f"int8 SparseInverseConv requires a cached rulebook "
+                f"under indice_key={cfg.indice_key!r}")
+            assert tuple(data.ksize) == cfg.kernel_size
+            pair_fwd = data.pair_bwd
+            out_indices, out_shape = data.indices, data.spatial_shape
+            center = None
+            valid_in = out_indices[:, 0] >= 0
+            num_out = jnp.sum(valid_in.astype(jnp.int32))
         else:
             from ..ops.rulebook import build_conv_rulebook
 
@@ -284,10 +325,17 @@ class QuantizedSparseConv(Module):
         q = jnp.clip(jnp.round(outf / self.output_scale), -127, 127)
         valid = out_indices[:, 0] >= 0
         q = jnp.where(valid[:, None], q, 0).astype(jnp.int8)
+        if cfg.subm:
+            sorted_out = x.keys_sorted
+        elif cfg.inverse:
+            # inverse outputs = the encoder's input rows
+            sorted_out = bool(getattr(data, "in_sorted", False))
+        else:
+            sorted_out = True
         out = SparseConvTensor(
             q, out_indices, out_shape, x.batch_size, num_voxels=num_out,
             indice_dict=dict(x.indice_dict),
-            keys_sorted=x.keys_sorted if cfg.subm else True)
+            keys_sorted=sorted_out)
         if cfg.indice_key is not None and cfg.indice_key not in out.indice_dict:
             out.indice_dict[cfg.indice_key] = data
         return out

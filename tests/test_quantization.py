@@ -144,3 +144,95 @@ def test_quantize_encoder_end_to_end(rng):
     kinds = [type(l).__name__ for l in qenc.layers]
     assert "QuantizedSparseConv" in kinds
     assert "QuantizedSparseBasicBlock" in kinds
+
+
+def test_int8_inverse_conv(rng):
+    """int8 SparseInverseConv: gather path swaps pair roles and outputs
+    the encoder's input sites (reference conv.py:348-363); the fused DG
+    inverse kernel matches it in interpret mode."""
+    from spconv_tpu.quantization.quantize import (
+        QuantizedSparseConv, _int8_gather_mm)
+
+    shape = (8, 10, 12)
+    c, k_mid, k_out = 4, 8, 4
+    x = make_input(rng, shape=shape, n=150, c=c, batch=1, nbuf=256)
+    xq = x.replace_feature(
+        jnp.asarray(rng.randint(-90, 90, (256, c)), jnp.int8))
+    xq = xq.replace_feature(
+        jnp.where(xq.valid_mask[:, None], xq.features, 0))
+
+    down = spconv_tpu.SparseConv3d(c, k_mid, 3, stride=2, padding=1,
+                                   indice_key="d0", bias=False,
+                                   out_bound=256,
+                                   key=jax.random.PRNGKey(1))
+    inv = spconv_tpu.SparseInverseConv3d(k_mid, k_out, 3,
+                                         indice_key="d0", bias=False,
+                                         key=jax.random.PRNGKey(2))
+    qd = QuantizedSparseConv(down, np.full(k_mid, 0.02, np.float32),
+                             0.05, 0.8)
+    qi = QuantizedSparseConv(inv, np.full(k_out, 0.03, np.float32),
+                             0.8, 0.9)
+    y = qd(xq)
+    z = qi(y)
+
+    data = y.find_indice_pair("d0")
+    wkv = jnp.transpose(qi.weight_i8.reshape(k_out, 27, k_mid), (1, 2, 0))
+    acc = _int8_gather_mm(y.features, wkv, data.pair_bwd, None)
+    ref = acc.astype(jnp.float32) * (0.8 * np.full(k_out, 0.03)) / 0.9
+    ref = jnp.clip(jnp.round(ref), -127, 127).astype(jnp.int8)
+    valid = np.asarray(x.indices[:, 0] >= 0)
+    np.testing.assert_array_equal(np.asarray(z.features)[valid],
+                                  np.asarray(ref)[valid])
+    assert z.spatial_shape == x.spatial_shape
+
+
+def test_dg_int8_inverse_kernel(rng):
+    """Fused int8 DG inverse kernel vs the gather-swap reference."""
+    from spconv_tpu.ops import coords as C
+    from spconv_tpu.ops.pallas.dg_conv import dg_regular_conv_q
+    from spconv_tpu.ops.rulebook import build_conv_rulebook
+    from spconv_tpu.quantization.quantize import _int8_gather_mm
+    from utils import generate_sparse_data
+
+    shape = (8, 10, 12)
+    c, k_out = 8, 8
+    feats, inds = generate_sparse_data(shape, 200, c, batch_size=1,
+                                       rng=rng)
+    key = inds[:, 0].astype(np.int64)
+    for a, s in enumerate(shape):
+        key = key * s + inds[:, a + 1]
+    order = np.argsort(key, kind="stable")
+    inds = inds[order]
+    ib = np.full((256, 4), -1, np.int32)
+    ib[:len(inds)] = inds
+    inds_j = jnp.asarray(ib)
+    in_keys, _ = C.linearize(inds_j, shape, 1)
+
+    data = build_conv_rulebook(
+        inds_j, spatial_shape=shape, batch_size=1, ksize=(3, 3, 3),
+        stride=(2, 2, 2), padding=(1, 1, 1), dilation=(1, 1, 1),
+        out_bound=256)
+    out_shape = tuple(int(v) for v in data.out_spatial_shape)
+    out_keys, _ = C.linearize(data.out_indices, out_shape, 1)
+    # encoder outputs are key-sorted by construction of the builder
+    assert bool(jnp.all(out_keys[1:] >= out_keys[:-1]))
+
+    nb = data.out_indices.shape[0]
+    fi8 = jnp.asarray(rng.randint(-90, 90, (nb, c)), jnp.int8)
+    fi8 = jnp.where(data.out_indices[:, :1] >= 0, fi8, 0)
+    wi8 = jnp.asarray(rng.randint(-60, 60, (k_out, 3, 3, 3, c)), jnp.int8)
+    scale = jnp.asarray(rng.uniform(0.001, 0.01, (k_out,)), jnp.float32)
+
+    out, _ = dg_regular_conv_q(
+        fi8, in_keys, out_keys, wi8, scale, None,
+        in_shape=shape, out_shape=out_shape, batch_size=1,
+        stride=(2, 2, 2), padding=(1, 1, 1), dilation=(1, 1, 1),
+        act="relu", out_dtype=jnp.int8, inverse=True, interpret=True)
+
+    wkv = jnp.transpose(wi8.reshape(k_out, 27, c), (1, 2, 0))
+    acc = _int8_gather_mm(fi8, wkv, data.pair_bwd, None)
+    y = jnp.maximum(acc.astype(jnp.float32) * scale[None, :], 0)
+    ref = jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
+    valid = np.asarray(ib[:, 0] >= 0)
+    np.testing.assert_array_equal(np.asarray(out)[valid],
+                                  np.asarray(ref)[valid])
