@@ -619,6 +619,7 @@ class SparseConvolution(Module):
         ``__dgreg__<indice_key>`` and are shared with the paired inverse
         conv (reference rulebook-reuse semantics, ``conv.py:348-363``)."""
         from ..ops.pallas import dg_conv as DG
+        from ..ops.pallas.dg_conv import dg_rows_for
         from ..ops.pallas.sorted_conv import SKRegData
         from ..ops.rulebook import build_conv_outputs
 
@@ -626,7 +627,12 @@ class SparseConvolution(Module):
         indices = input.indices
         spatial_shape = tuple(int(s) for s in input.spatial_shape)
         batch_size = input.batch_size
-        window = 384
+        # R-row supertiles for the strided forward (the OUT side of a
+        # first downsample is often the LARGEST layer in the net — see
+        # DESIGN_NOTES CenterPoint table); transposed/inverse tile at 128
+        rows = (1 if (self.transposed or self.inverse)
+                else dg_rows_for(self.in_channels, self.out_channels))
+        window = 384 if rows == 1 else 256 + 256 * rows
         interpret = jax.default_backend() == "cpu"
         ck = (f"__dgreg__{self.indice_key}"
               if self.indice_key is not None else None)
@@ -694,6 +700,8 @@ class SparseConvolution(Module):
             and rec.transposed == self.transposed
             and rec.out_shape == out_shape
             and rec.output_padding == self.output_padding
+            and rec.tile == 128 * rows
+            and rec.window == window
         ):
             in_keys = rec.in_keys
             out_keys = rec.out_keys
@@ -741,14 +749,16 @@ class SparseConvolution(Module):
                 in_shape=spatial_shape, out_shape=out_shape,
                 batch_size=batch_size, stride=self.stride,
                 padding=self.padding, dilation=self.dilation,
-                window=window, plans=plans, interpret=interpret,
+                window=window, rows_per_tile=rows, plans=plans,
+                interpret=interpret,
             )
         if ck and not isinstance(rec, SKRegData):
             new_rec = SKRegData(
                 in_keys, out_keys, out_indices, num_out, plans,
                 ksize=self.kernel_size, stride=self.stride,
                 padding=self.padding, dilation=self.dilation,
-                in_shape=spatial_shape, out_shape=out_shape, tile=128,
+                in_shape=spatial_shape, out_shape=out_shape,
+                tile=128 * rows,
                 window=window, transposed=self.transposed,
                 output_padding=self.output_padding,
             )

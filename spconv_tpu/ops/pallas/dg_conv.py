@@ -841,6 +841,7 @@ def dg_regular_conv_q(
     out_dtype=jnp.int8,
     inverse: bool = False,
     window: int = 384,
+    rows_per_tile: int = 1,
     plans=None,
     interpret: bool = False,
 ):
@@ -865,6 +866,7 @@ def dg_regular_conv_q(
     groups = sk_groups(ksize, include_center=True)
     weight_kv = jnp.transpose(
         weight_i8.reshape(k_out, kv, c), (1, 2, 0))
+    R = 1 if inverse else int(rows_per_tile)
     if plans is None:
         sk_geom = _SKRegGeom(
             stride=tuple(int(v) for v in stride),
@@ -875,7 +877,7 @@ def dg_regular_conv_q(
             interpret=bool(interpret),
         )
         plans = build_sk_reg_plans(in_keys, out_keys, sk_geom,
-                                   align=_LANE)
+                                   align=_LANE, tile_io=R * _LANE)
     plan_io, plan_oi = plans
     gs = _round_up(kv, 8)
     if inverse:
@@ -896,11 +898,11 @@ def dg_regular_conv_q(
         table_dims=in_dims)
     out = _dg_conv_call_q(
         features_i8, in_keys, out_keys, weight_kv, plan_io,
-        make_ptab(None, disp, gs),
+        make_ptab(None, disp, gs, rows=R),
         vprobe_builder=vprobe, decode_dims=out_dims,
         sentinel_tile=sent_out, groups=groups, window=window,
         scale=scale, bias=bias, act=act, out_dtype=out_dtype,
-        interpret=interpret,
+        rows=R, interpret=interpret,
     )
     return out, plans
 
@@ -1306,6 +1308,7 @@ class _DGRegGeom(NamedTuple):
     groups: tuple
     inverse: bool
     interpret: bool
+    rows: int = 1
 
 
 def _reg_disp(geom: _DGRegGeom):
@@ -1320,18 +1323,20 @@ def _dg_reg_conv(features, in_keys, out_keys, weight_kv, plans,
     plan_io, plan_oi = plans
     kv = disp.shape[0]
     gs = _round_up(kv, 8)
-    ptab = make_ptab(None, disp, gs)
     if not geom.inverse:
         vprobe = functools.partial(
             _vec_affine_probes, stride=geom.stride,
             table_dims=geom.in_dims)
         return _dg_conv_call(
-            features, in_keys, out_keys, weight_kv, plan_io, ptab,
+            features, in_keys, out_keys, weight_kv, plan_io,
+            make_ptab(None, disp, gs, rows=geom.rows),
             vprobe_builder=vprobe,
             decode_dims=geom.out_dims, sentinel_tile=geom.sent_out,
             groups=geom.groups, window=geom.window,
-            out_dtype=features.dtype, interpret=geom.interpret,
+            out_dtype=features.dtype, rows=geom.rows,
+            interpret=geom.interpret,
         )
+    ptab = make_ptab(None, disp, gs)
     vprobe = functools.partial(
         _vec_divide_probes, stride=geom.stride,
         table_dims=geom.out_dims)
@@ -1397,13 +1402,16 @@ def dg_regular_conv(
     dilation: Sequence[int],
     inverse: bool = False,
     window: int = 384,
+    rows_per_tile: int = 1,
     plans=None,
     interpret: bool = False,
 ):
     """Dynamic-gather regular (strided) / inverse sparse conv on sorted
     keys.  Same calling convention as ``sk_regular_conv``; plans are
     built with 128-aligned window starts (reusable only with other DG
-    layers).  Returns ``(out_features, plans, geom)``."""
+    layers).  ``rows_per_tile`` applies to the non-inverse forward
+    (plan_io builds at tile R·128; plan_oi — the backward and any paired
+    inverse — keeps 128).  Returns ``(out_features, plans, geom)``."""
     from .sorted_conv import _SKRegGeom, build_sk_reg_plans
 
     ksize = tuple(int(k) for k in weight.shape[1:-1])
@@ -1413,6 +1421,7 @@ def dg_regular_conv(
     offs = C.kernel_offsets(ksize)
     disp = (offs * np.asarray([int(d) for d in dilation])
             - np.asarray([int(p) for p in padding])).astype(np.int32)
+    R = 1 if inverse else int(rows_per_tile)
     geom = _DGRegGeom(
         stride=tuple(int(v) for v in stride),
         disp=tuple(int(v) for v in disp.reshape(-1)),
@@ -1423,7 +1432,7 @@ def dg_regular_conv(
         sent_out=int(np.prod([int(v) for v in out_shape]))
         * int(batch_size),
         window=window, groups=sk_groups(ksize, include_center=True),
-        inverse=bool(inverse), interpret=bool(interpret),
+        inverse=bool(inverse), interpret=bool(interpret), rows=R,
     )
     weight_kv = jnp.transpose(
         weight.reshape(k_out, kv, c), (1, 2, 0))  # [kv, C, K]
@@ -1436,7 +1445,7 @@ def dg_regular_conv(
             interpret=geom.interpret,
         )
         plans = build_sk_reg_plans(in_keys, out_keys, sk_geom,
-                                   align=_LANE)
+                                   align=_LANE, tile_io=R * _LANE)
     return _dg_reg_conv(features, in_keys, out_keys, weight_kv, plans,
                         geom), plans, geom
 

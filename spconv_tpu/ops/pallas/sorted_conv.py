@@ -1243,28 +1243,31 @@ def _reg_disp(geom: _SKRegGeom):
     return np.asarray(geom.disp, np.int32).reshape(-1, ndim)
 
 
-def build_sk_reg_plans(in_keys, out_keys, geom: _SKRegGeom, align=_ALIGN):
+def build_sk_reg_plans(in_keys, out_keys, geom: _SKRegGeom, align=_ALIGN,
+                       tile_io=None):
     """(plan_io, plan_oi): windows over the IN table for OUT tiles, and
     over the OUT table for IN tiles — built from exact per-row probes
     (:func:`_plan_from_row_probes`).  The regular conv uses (fwd=io,
     bwd=oi); the inverse conv of the same encoder uses the swap — one
     cache serves both (the reference's rulebook-reuse role,
-    ``conv.py:348-363``)."""
+    ``conv.py:348-363``).  ``tile_io`` overrides the OUT-tile size (the
+    DG R-row forward tiles R·128 rows while its backward keeps 128)."""
     disp = _reg_disp(geom)
     tile, window = geom.tile, geom.window
-    nt_out = -(-out_keys.shape[0] // tile) * tile
+    tile_io = int(tile_io or tile)
+    nt_out = -(-out_keys.shape[0] // tile_io) * tile_io
     nt_in = -(-in_keys.shape[0] // tile) * tile
-    _, npad_in = _n_pad_for(in_keys.shape[0], tile, window)
+    _, npad_in = _n_pad_for(in_keys.shape[0], tile_io, window)
     _, npad_out = _n_pad_for(out_keys.shape[0], tile, window)
     in_p = _pad_rows(in_keys, npad_in, geom.sent_in)
-    out_p = _pad_rows(out_keys, npad_out, geom.sent_out)
+    out_p = _pad_rows(out_keys, max(npad_out, nt_out), geom.sent_out)
 
     p_io, v_io = _affine_row_probes(
         out_p[:nt_out], geom.stride, disp, geom.out_dims, geom.in_dims,
         geom.sent_out,
     )
     plan_io = _plan_from_row_probes(
-        in_p, p_io, v_io, geom.sent_in, tile=tile, groups=geom.groups,
+        in_p, p_io, v_io, geom.sent_in, tile=tile_io, groups=geom.groups,
         window=window, n_pad=npad_in, align=align,
     )
 

@@ -214,7 +214,8 @@ class QuantizedSparseConv(Module):
                     indice_dict=dict(x.indice_dict), keys_sorted=True)
 
         if fused_ok and not cfg.inverse and add_input is None:
-            from ..ops.pallas.dg_conv import dg_regular_conv_q
+            from ..ops.pallas.dg_conv import (
+                dg_regular_conv_q, dg_rows_for)
             from ..ops.pallas.sorted_conv import SKRegData
             from ..ops.rulebook import build_conv_outputs
 
@@ -222,6 +223,9 @@ class QuantizedSparseConv(Module):
             out_shape = tuple(int(v) for v in _C.get_conv_output_size(
                 spatial_shape, cfg.kernel_size, cfg.stride, cfg.padding,
                 cfg.dilation))
+            rows = dg_rows_for(self.weight_i8.shape[-1],
+                               self.weight_i8.shape[0])
+            window = 384 if rows == 1 else 256 + 256 * rows
             ck = (f"__dgreg__{cfg.indice_key}"
                   if cfg.indice_key is not None else None)
             rec = x.indice_dict.get(ck) if ck else None
@@ -231,7 +235,9 @@ class QuantizedSparseConv(Module):
                     and rec.padding == cfg.padding
                     and rec.dilation == cfg.dilation
                     and rec.in_shape == spatial_shape
-                    and not rec.transposed):
+                    and not rec.transposed
+                    and rec.tile == 128 * rows
+                    and rec.window == window):
                 in_keys, out_keys = rec.in_keys, rec.out_keys
                 out_indices, num_out = rec.out_indices, rec.num_out
                 plans = rec.plans
@@ -251,7 +257,8 @@ class QuantizedSparseConv(Module):
                 bias_q, in_shape=spatial_shape, out_shape=out_shape,
                 batch_size=x.batch_size, stride=cfg.stride,
                 padding=cfg.padding, dilation=cfg.dilation,
-                act=self.act_type, out_dtype=jnp.int8, plans=plans)
+                act=self.act_type, out_dtype=jnp.int8, window=window,
+                rows_per_tile=rows, plans=plans)
             valid = out_indices[:, 0] >= 0
             q = jnp.where(valid[:, None], q, 0)
             out = SparseConvTensor(
@@ -264,7 +271,7 @@ class QuantizedSparseConv(Module):
                     ksize=cfg.kernel_size, stride=cfg.stride,
                     padding=cfg.padding, dilation=cfg.dilation,
                     in_shape=spatial_shape, out_shape=out_shape,
-                    tile=128, window=384, transposed=False,
+                    tile=128 * rows, window=window, transposed=False,
                     output_padding=cfg.output_padding)
                 # a paired int8 inverse conv outputs THESE input rows
                 out.indice_dict[f"__dgreg_in__{cfg.indice_key}"] = \

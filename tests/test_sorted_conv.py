@@ -586,3 +586,53 @@ def test_dg_rows_supertile_sweeps(rng):
     ref = m(x).features
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_dg_rows_strided_module(rng, monkeypatch):
+    """R-row supertiles through the strided + inverse module path
+    (SPCONV_DG_ROWS=auto activates the width heuristic)."""
+    monkeypatch.setenv("SPCONV_DG_ROWS", "auto")
+    import spconv_tpu
+
+    shape = (6, 14, 18)
+    c = 8
+    feats, inds = _sorted_input(rng, shape, 600, c, 1024)
+    x = spconv_tpu.SparseConvTensor(feats, inds, shape, 1,
+                                    keys_sorted=True)
+
+    kw = dict(bias=False, indice_key="rd0", key=jax.random.PRNGKey(5),
+              out_bound=2048)
+    down_dg = spconv_tpu.SparseConv3d(c, 16, 3, stride=2, padding=1,
+                                      algo="dg", **kw)
+    down_nat = spconv_tpu.SparseConv3d(c, 16, 3, stride=2, padding=1,
+                                       algo="native", **kw)
+    down_nat = down_nat.replace(weight=down_dg.weight)
+    inv_dg = spconv_tpu.SparseInverseConv3d(16, c, 3, indice_key="rd0",
+                                            bias=False, algo="dg",
+                                            key=jax.random.PRNGKey(6))
+    inv_nat = inv_dg.replace(algo="native")
+
+    y_dg = down_dg(x)
+    y_nat = down_nat(x)
+    # coord-keyed alignment (output row orders differ between paths)
+    import numpy as np
+    kd = _keys_of(y_dg.indices, tuple(int(v) for v in y_dg.spatial_shape),
+                  1)[0]
+    kn = _keys_of(y_nat.indices, tuple(int(v) for v in y_nat.spatial_shape),
+                  1)[0]
+    vd = np.asarray(y_dg.indices[:, 0] >= 0)
+    vn = np.asarray(y_nat.indices[:, 0] >= 0)
+    od = np.argsort(np.asarray(kd)[vd])
+    on = np.argsort(np.asarray(kn)[vn])
+    np.testing.assert_array_equal(np.asarray(kd)[vd][od],
+                                  np.asarray(kn)[vn][on])
+    np.testing.assert_allclose(
+        np.asarray(y_dg.features)[vd][od],
+        np.asarray(y_nat.features)[vn][on], rtol=2e-4, atol=2e-4)
+
+    z_dg = inv_dg(y_dg)
+    z_nat = inv_nat(y_nat)
+    np.testing.assert_allclose(
+        np.asarray(z_dg.features), np.asarray(z_nat.features),
+        rtol=2e-4, atol=2e-4)
+    assert z_dg.spatial_shape == x.spatial_shape
