@@ -364,6 +364,8 @@ def _dg_fwd_kernel(
     t = pl.program_id(0)
     P = len(groups)
     gp = kv // P  # include_center groups are uniform contiguous ranges
+    assert all(len(g) == gp and g[0] == p * gp
+               for p, g in enumerate(groups)), groups
     wch = window // _LANE
     gs = _round_up(kv, 8)
     G = R * gs
@@ -466,8 +468,8 @@ def _dg_fwd_kernel(
             gbuf_ref[:] = stack[:gbuf_ref.shape[0]]
             return
 
-    # zero of the packed table dtype is also the packed zero, so the
-    # miss value is correct pre- and post-unpack
+        # zero of the packed table dtype is also the packed zero, so
+        # the miss value is correct pre- and post-unpack
         for craw in range(cg):
             acc = None
             for j in range(wch):
