@@ -64,22 +64,20 @@ __all__ = [
 _KROWS = 8  # sublane rows in the chunked key table (row 0 = keys)
 
 def dg_rows_for(c_in: int, c_out: int) -> int:
-    """Supertile row count heuristic: narrow-channel layers amortize
-    per-step fixed costs and window reach over more voxels (the search/
-    gather per-voxel cost ∝ window/(R·128)); wide layers are GEMM/VMEM
-    bound and keep R small.  Override with ``SPCONV_DG_ROWS``; the
-    heuristic activates once verified on hardware via
-    ``SPCONV_DG_ROWS=auto`` (see tools/probe_dg_bench.py)."""
+    """Supertile row count.  MEASURED on v5e (125k-voxel scan,
+    tools/probe_dg_bench.py): R=1 wins at every width — C=16: R=1
+    3.30 ms vs R=2 3.60 / R=4 3.89 / R=8 8.48; C=64: R=1 4.99 vs
+    R=2 5.63 / R=4 7.40 (R=8 VMEM-OOM).  The amortization hypothesis
+    fails because per-probe search AND gather cost scale with the
+    window chunk count (every binary-search step and every feature
+    gather walks all ``wch = W/128`` chunks), and W must grow with R
+    to cover the supertile span.  ``SPCONV_DG_ROWS`` overrides for
+    experiments; ``auto`` = the measured default (1)."""
     import os
 
     env = os.environ.get("SPCONV_DG_ROWS", "1")
     if env != "auto":
         return max(1, int(env))
-    maxc = max(int(c_in), int(c_out))
-    if maxc <= 32:
-        return 4
-    if maxc <= 64:
-        return 2
     return 1
 
 
@@ -414,7 +412,14 @@ def _dg_fwd_kernel(
     if _ABLATE == "noprobe":
         probes = ktS
     else:
-        coordS, bidxS = _probe_coords(ktS, dims)
+        # decode coords on the [1,128] tile-key rows, THEN broadcast —
+        # integer div/rem on the [G,128] stack costs gs× the VPU work
+        per_row = [_probe_coords(kt_ref[0, r:r + 1, :], dims)
+                   for r in range(R)]
+        coordS = [stack_rows(lambda r, a=a: jnp.broadcast_to(
+            per_row[r][0][a], (gs, _LANE))) for a in range(len(dims))]
+        bidxS = stack_rows(lambda r: jnp.broadcast_to(
+            per_row[r][1], (gs, _LANE)))
         probes = vprobe_fn(ktS, liveS, coordS, bidxS, ptab_ref[:])
 
     # rows of a plane whose window is absent match nothing.  Built with
@@ -496,7 +501,15 @@ def _dg_fwd_kernel(
                                 r * blk + (cc + 1) * gs)
                     src = vv[r * gs:(r + 1) * gs, :]
                     if accumulate:
-                        gbuf_ref[dst, :] += src
+                        if gbuf_ref.dtype == jnp.int8:
+                            # Mosaic has no vector<i8> add — widen to i32
+                            # (disjoint windows: one side is always 0)
+                            gbuf_ref[dst, :] = (
+                                gbuf_ref[dst, :].astype(jnp.int32)
+                                + src.astype(jnp.int32)
+                            ).astype(jnp.int8)
+                        else:
+                            gbuf_ref[dst, :] += src
                     else:
                         gbuf_ref[dst, :] = src
 

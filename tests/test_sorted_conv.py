@@ -553,6 +553,49 @@ def test_dg_int8_regular_strided(rng):
                                   ref_sorted[valid])
 
 
+def test_dg_int8_multiwindow_sweeps(rng):
+    """int8 DG conv with a deliberately tiny window so the serial
+    multi-window sweep ACCUMULATE path runs (the int8 gbuf accumulate
+    widens to i32 in-kernel — Mosaic has no vector<i8> add)."""
+    from spconv_tpu.ops.pallas import sorted_conv as SK
+    from spconv_tpu.ops.pallas.dg_conv import dg_subm_conv_q
+    from spconv_tpu.quantization.quantize import _int8_gather_mm
+
+    shape = (6, 17, 23)
+    c = k_out = 16
+    feats, inds = _sorted_input(rng, shape, 900, c, 1024)
+    keys, sent = _keys_of(inds, shape, 1)
+    fi8 = jnp.asarray(rng.randint(-90, 90, feats.shape), jnp.int8)
+    fi8 = jnp.where(inds[:, :1] >= 0, fi8, 0)
+    wi8 = jnp.asarray(rng.randint(-60, 60, (k_out, 3, 3, 3, c)), jnp.int8)
+    scale = jnp.asarray(rng.uniform(0.001, 0.01, (k_out,)), jnp.float32)
+
+    W = 128  # far below the per-tile reach → nw > 1 on many tiles
+    deltas_np, _ = SK.subm_key_deltas((3, 3, 3), (1, 1, 1), shape)
+    groups = SK.sk_groups((3, 3, 3), include_center=True)
+    np_t, n_pad = SK._n_pad_for(keys.shape[0], 128, W)
+    plans = SK.build_sk_plans(
+        SK._pad_rows(keys, np_t, sent), sent, deltas_np, groups,
+        tile=128, window=W, n_pad=n_pad, align=128)
+    assert int(np.max(np.asarray(plans[0].nw))) > 1  # sweeps exercised
+
+    out = dg_subm_conv_q(
+        fi8, keys, wi8, scale, None, spatial_shape=shape, batch_size=1,
+        dilation=(1, 1, 1), act="relu", out_dtype=jnp.int8, window=W,
+        plans=plans, interpret=True)
+
+    from spconv_tpu.ops.rulebook import build_subm_rulebook
+    data = build_subm_rulebook(inds, spatial_shape=shape, batch_size=1,
+                               ksize=(3, 3, 3), dilation=(1, 1, 1))
+    wkv = jnp.transpose(wi8.reshape(k_out, 27, c), (1, 2, 0))
+    acc = _int8_gather_mm(fi8, wkv, data.pair_fwd, 13)
+    y = jnp.maximum(acc.astype(jnp.float32) * scale[None, :], 0.0)
+    ref = jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
+    valid = np.asarray(inds[:, 0] >= 0)
+    np.testing.assert_array_equal(np.asarray(out)[valid],
+                                  np.asarray(ref)[valid])
+
+
 def test_dg_rows_supertile_sweeps(rng):
     """R-row supertiles with a deliberately tiny window so the serial
     multi-window sweep path runs — vs the native gather path."""

@@ -137,27 +137,6 @@ def main():
 
         run_case(f"DG subm fwd+bwd C=K={c}", chain_dg_bwd, feats, w)
 
-        # int8 DG (quad-packed gather, int8 MXU GEMM, fused epilogue)
-        from spconv_tpu.ops.pallas.dg_conv import dg_subm_conv_q
-        fi8 = jnp.asarray(rs.randint(-100, 100, (inds.shape[0], c)),
-                          jnp.int8)
-        fi8 = jnp.where(inds_j[:, :1] >= 0, fi8, 0)
-        wi8 = jnp.asarray(rs.randint(-80, 80, (c, 3, 3, 3, c)), jnp.int8)
-        scale = jnp.asarray(rs.uniform(0.001, 0.01, (c,)), jnp.float32)
-
-        def chain_q(f0, w_):
-            def body(i, acc):
-                f = (f0.astype(jnp.int32)
-                     + (acc > 1e30).astype(jnp.int32)).astype(jnp.int8)
-                o = dg_subm_conv_q(
-                    f, keys_j, w_, scale, None, spatial_shape=ss,
-                    batch_size=1, dilation=(1, 1, 1), act="relu",
-                    out_dtype=jnp.int8, plans=plans_c)
-                return acc + jnp.sum(o.astype(jnp.float32))
-            return jax.lax.fori_loop(0, REP, body, jnp.float32(0))
-
-        run_case(f"DG int8 subm C=K={c}", chain_q, fi8, wi8)
-
         # R-row supertile sweep (shared plane windows; fwd only)
         from spconv_tpu.ops.pallas.dg_conv import dg_window_for
         for R in (2, 4, 8):
@@ -182,6 +161,27 @@ def main():
             r3 = run_case(f"DG subm R={R} W={WR} C=K={c}", chain_dg_R,
                           feats, w)
             print(f"  sum R={R}: {float(r3):.1f} (R=1: {float(r1):.1f})")
+
+        # int8 DG (quad-packed gather, int8 MXU GEMM, fused epilogue)
+        from spconv_tpu.ops.pallas.dg_conv import dg_subm_conv_q
+        fi8 = jnp.asarray(rs.randint(-100, 100, (inds.shape[0], c)),
+                          jnp.int8)
+        fi8 = jnp.where(inds_j[:, :1] >= 0, fi8, 0)
+        wi8 = jnp.asarray(rs.randint(-80, 80, (c, 3, 3, 3, c)), jnp.int8)
+        scale = jnp.asarray(rs.uniform(0.001, 0.01, (c,)), jnp.float32)
+
+        def chain_q(f0, w_):
+            def body(i, acc):
+                f = (f0.astype(jnp.int32)
+                     + (acc > 1e30).astype(jnp.int32)).astype(jnp.int8)
+                o = dg_subm_conv_q(
+                    f, keys_j, w_, scale, None, spatial_shape=ss,
+                    batch_size=1, dilation=(1, 1, 1), act="relu",
+                    out_dtype=jnp.int8, plans=plans_c)
+                return acc + jnp.sum(o.astype(jnp.float32))
+            return jax.lax.fori_loop(0, REP, body, jnp.float32(0))
+
+        run_case(f"DG int8 subm C=K={c}", chain_q, fi8, wi8)
 
 
 if __name__ == "__main__":
