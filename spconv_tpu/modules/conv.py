@@ -551,9 +551,11 @@ class SparseConvolution(Module):
         ) if self.indice_key is not None else None
         rec = input.indice_dict.get(ck) if ck else None
         new_rec = None
+        pos = None
         if rec is not None and isinstance(rec, DG.DGData):
             keys = rec.keys
             plans = rec.plans
+            pos = rec.pos
         else:
             keys, _sent = C.linearize(indices, spatial_shape, batch_size)
             deltas_np, _ = SK.subm_key_deltas(
@@ -577,17 +579,26 @@ class SparseConvolution(Module):
                 )
                 plans = (plans[0], plan_bwd)
             if ck:
+                # run the windowed binary search ONCE for the stage;
+                # every later subm layer sharing the indice_key reuses
+                # the cached match rows (no search / key DMA per layer)
+                pos = DG.build_dg_pos(
+                    keys, plans[0], ksize=self.kernel_size,
+                    dilation=self.dilation, spatial_shape=spatial_shape,
+                    batch_size=batch_size, window=window, rows=rows,
+                    interpret=interpret,
+                )
                 new_rec = DG.DGData(
                     keys, plans, ksize=self.kernel_size,
                     dilation=self.dilation, spatial_shape=spatial_shape,
-                    window=window,
+                    window=window, pos=pos,
                 )
 
         out_feat = DG.dg_subm_conv(
             features, keys, self.weight,
             spatial_shape=spatial_shape, batch_size=batch_size,
             dilation=self.dilation, window=window, rows_per_tile=rows,
-            plans=plans, interpret=interpret,
+            plans=plans, pos=pos, interpret=interpret,
         )
         out_feat = bias_add_act(
             out_feat, self.bias, self.act_type, self.act_alpha,

@@ -59,6 +59,7 @@ __all__ = [
     "dg_subm_conv", "dg_regular_conv", "dg_subm_conv_q",
     "dg_regular_conv_q", "chunk_table", "chunk_keys",
     "unchunk_out", "DGData", "dg_rows_for", "dg_window_for",
+    "build_dg_pos",
 ]
 
 _KROWS = 8  # sublane rows in the chunked key table (row 0 = keys)
@@ -328,25 +329,34 @@ def _vec_divide_probes(ktS, liveS, coordS, bidxS, ptab, stride,
 
 def _dg_fwd_kernel(
     kv, c_sub, k_sub, R, vprobe_fn, dims, sentinel, groups, n_tiles,
-    window, comp_dtype, packmode, act, have_add, add_scale,
+    window, comp_dtype, packmode, act, have_add, add_scale, posmode,
     # scalar prefetch
     ws_ref, nw_ref,
-    # inputs
-    kt_ref,      # [1, R, 128] int32 — this supertile's OUTPUT keys
-    ptab_ref,    # [R*gs, 128] int32 per-offset constants (make_ptab)
-    ksh_hbm,     # [nc, _KROWS, 128] int32 chunked key table
-    feat_hbm,    # [nc, cg, 128] chunked feature table (i32 packed / f32)
-    w_ref,       # [k_sub, c_sub*gs] comp_dtype (int8 in q4 mode),
-                 #   column (cc*gs + k) = W[offset k, perm channel cc]
-    *rest,
+    *args,
+    # posmode=False inputs: kt_ref [1, R, 128] int32 (this supertile's
+    #   OUTPUT keys); ptab_ref [R*gs, 128] int32 (make_ptab); ksh_hbm
+    #   [nc, _KROWS, 128] int32 chunked key table; feat_hbm
+    #   [nc, cg, 128] chunked feature table (i32 packed / f32); w_ref
+    #   [k_sub, c_sub*gs] comp_dtype (int8 in q4 mode), column
+    #   (cc*gs + k) = W[offset k, perm channel cc]
+    # posmode=True inputs: pos_ref [1, G, 128] int32 — this tile's
+    #   cached ABSOLUTE match rows (build_dg_pos; −1 = no match) —
+    #   replacing kt/ptab/ksh (no probes, no search, no key DMA);
+    #   then feat_hbm, w_ref as above
     # q4 mode only: scb_ref [2, k_sub, 128] f32 (scale row 0, bias row 1)
     #               add_ref [1, k_sub, R*128] int8 (when have_add)
     # then: out_ref [1, k_sub, R*128]
-    # scratch: wk_ref [2, P, wch, _KROWS, 128] i32;
+    # scratch: wk_ref [2, P, wch, _KROWS, 128] i32 (skipped in posmode);
     #          wf_ref [2, P, wch, cg, 128] table dtype;
-    #          wk1_ref/wf1_ref single-window sweep buffers;
-    #          gbuf_ref [R*c_sub*gs, 128] comp_dtype; 4 DMA semaphores
+    #          wk1_ref/wf1_ref single-window sweep buffers (wk1 skipped
+    #          in posmode); gbuf_ref [R*c_sub*gs, 128] comp_dtype;
+    #          DMA semaphores (feature-only in posmode)
 ):
+    kt_ref = ptab_ref = ksh_hbm = pos_ref = None
+    if posmode:
+        pos_ref, feat_hbm, w_ref, *rest = args
+    else:
+        kt_ref, ptab_ref, ksh_hbm, feat_hbm, w_ref, *rest = args
     i = 0
     scb_ref = add_ref = None
     if packmode == "q4":
@@ -356,8 +366,12 @@ def _dg_fwd_kernel(
             add_ref = rest[i]
             i += 1
     out_ref = rest[i]
-    (wk_ref, wf_ref, wk1_ref, wf1_ref, gbuf_ref,
-     ksems, fsems, ksem1, fsem1) = rest[i + 1:]
+    wk_ref = wk1_ref = ksems = ksem1 = None
+    if posmode:
+        (wf_ref, wf1_ref, gbuf_ref, fsems, fsem1) = rest[i + 1:]
+    else:
+        (wk_ref, wf_ref, wk1_ref, wf1_ref, gbuf_ref,
+         ksems, fsems, ksem1, fsem1) = rest[i + 1:]
 
     t = pl.program_id(0)
     P = len(groups)
@@ -375,9 +389,10 @@ def _dg_fwd_kernel(
     def start_tile(tt, buf):
         for p in range(P):
             c0 = ws_ref[p, tt] // _LANE
-            pltpu.make_async_copy(
-                ksh_hbm.at[pl.ds(c0, wch)], wk_ref.at[buf, p],
-                ksems.at[buf, p]).start()
+            if not posmode:
+                pltpu.make_async_copy(
+                    ksh_hbm.at[pl.ds(c0, wch)], wk_ref.at[buf, p],
+                    ksems.at[buf, p]).start()
             pltpu.make_async_copy(
                 feat_hbm.at[pl.ds(c0, wch)], wf_ref.at[buf, p],
                 fsems.at[buf, p]).start()
@@ -394,9 +409,10 @@ def _dg_fwd_kernel(
             start_tile(t + 1, jax.lax.rem(t + 1, 2))
 
         for p in range(P):
-            pltpu.make_async_copy(
-                ksh_hbm.at[pl.ds(0, wch)], wk_ref.at[0, p],
-                ksems.at[buf, p]).wait()
+            if not posmode:
+                pltpu.make_async_copy(
+                    ksh_hbm.at[pl.ds(0, wch)], wk_ref.at[0, p],
+                    ksems.at[buf, p]).wait()
             pltpu.make_async_copy(
                 feat_hbm.at[pl.ds(0, wch)], wf_ref.at[0, p],
                 fsems.at[buf, p]).wait()
@@ -406,32 +422,46 @@ def _dg_fwd_kernel(
         rows = [build_one(r) for r in range(R)]
         return jnp.concatenate(rows, axis=0) if R > 1 else rows[0]
 
-    ktS = stack_rows(lambda r: jnp.broadcast_to(
-        kt_ref[0, r:r + 1, :], (gs, _LANE)))
-    liveS = ktS != sentinel
-    if _ABLATE == "noprobe":
-        probes = ktS
-    else:
-        # decode coords on the [1,128] tile-key rows, THEN broadcast —
-        # integer div/rem on the [G,128] stack costs gs× the VPU work
-        per_row = [_probe_coords(kt_ref[0, r:r + 1, :], dims)
-                   for r in range(R)]
-        coordS = [stack_rows(lambda r, a=a: jnp.broadcast_to(
-            per_row[r][0][a], (gs, _LANE))) for a in range(len(dims))]
-        bidxS = stack_rows(lambda r: jnp.broadcast_to(
-            per_row[r][1], (gs, _LANE)))
-        probes = vprobe_fn(ktS, liveS, coordS, bidxS, ptab_ref[:])
-
     # rows of a plane whose window is absent match nothing.  Built with
     # iota + scalar selects: Mosaic rejects concatenation of i1 vectors
     # ("Invalid vector register cast" on vector<8x128xi1>).
     rowk = jax.lax.rem(
         jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0), np.int32(gs))
-    pnw = jnp.zeros((G, 1), jnp.int32)
-    for p in range(P):
-        in_p = (rowk >= p * gp) & (rowk < (p + 1) * gp)
-        pnw = jnp.where(in_p, nw_ref[p, t], pnw)
-    probes = jnp.where(pnw > 0, probes, np.int32(-1))
+
+    probes = None
+    gpos = wsP = None
+    if posmode:
+        # cached absolute match rows (−1 = miss); per-row plane window
+        # start turns them into window-local gather positions
+        gpos = pos_ref[0]
+        wsP = jnp.zeros((G, 1), jnp.int32)
+        for p in range(P):
+            in_p = (rowk >= p * gp) & (rowk < (p + 1) * gp)
+            wsP = jnp.where(in_p, ws_ref[p, t], wsP)
+    else:
+        ktS = stack_rows(lambda r: jnp.broadcast_to(
+            kt_ref[0, r:r + 1, :], (gs, _LANE)))
+        liveS = ktS != sentinel
+        if _ABLATE == "noprobe":
+            probes = ktS
+        else:
+            # decode coords on the [1,128] tile-key rows, THEN broadcast
+            # — integer div/rem on the [G,128] stack costs gs× the VPU
+            # work
+            per_row = [_probe_coords(kt_ref[0, r:r + 1, :], dims)
+                       for r in range(R)]
+            coordS = [stack_rows(lambda r, a=a: jnp.broadcast_to(
+                per_row[r][0][a], (gs, _LANE)))
+                for a in range(len(dims))]
+            bidxS = stack_rows(lambda r: jnp.broadcast_to(
+                per_row[r][1], (gs, _LANE)))
+            probes = vprobe_fn(ktS, liveS, coordS, bidxS, ptab_ref[:])
+
+        pnw = jnp.zeros((G, 1), jnp.int32)
+        for p in range(P):
+            in_p = (rowk >= p * gp) & (rowk < (p + 1) * gp)
+            pnw = jnp.where(in_p, nw_ref[p, t], pnw)
+        probes = jnp.where(pnw > 0, probes, np.int32(-1))
 
     big = np.int32(2**31 - 1)
 
@@ -449,13 +479,26 @@ def _dg_fwd_kernel(
         return (jnp.concatenate([inner] * R, axis=0) if R > 1
                 else inner)
 
-    def gather_all(get_key_row, get_feat_row, accumulate):
+    def gather_all(get_key_row, get_feat_row, accumulate, wi=None,
+                   plane=None):
         """One full search+gather pass against the current windows.
 
         ``get_key_row(p, j)`` / ``get_feat_row(p, j, craw)`` return the
         [1,128] window key row / packed feature row of plane p, chunk j.
-        Writes (or accumulates) every gbuf block."""
-        if _ABLATE in ("nosearch", "bare"):
+        Writes (or accumulates) every gbuf block.  In posmode the search
+        is replaced by the cached positions: ``wi`` is the (traced)
+        sweep-window index and ``plane`` restricts matches to one
+        plane's offset rows during the serial sweep."""
+        if posmode:
+            local = gpos - wsP
+            if wi is not None:
+                local = local - wi * np.int32(window)
+            found = (gpos >= 0) & (local >= 0) & (local < window)
+            if plane is not None:
+                found = found & (rowk >= plane * gp) \
+                    & (rowk < (plane + 1) * gp)
+            pos = jnp.clip(local, 0, window - 1)
+        elif _ABLATE in ("nosearch", "bare"):
             pos = jnp.broadcast_to(
                 jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1),
                 (G, _LANE))
@@ -532,15 +575,17 @@ def _dg_fwd_kernel(
                 @pl.when(wi < nw_ref[p, t])
                 def _(p=p):
                     c0 = ws_ref[p, t] // _LANE + wi * wch
-                    pltpu.make_async_copy(
-                        ksh_hbm.at[pl.ds(c0, wch)], wk1_ref,
-                        ksem1).start()
+                    if not posmode:
+                        pltpu.make_async_copy(
+                            ksh_hbm.at[pl.ds(c0, wch)], wk1_ref,
+                            ksem1).start()
                     pltpu.make_async_copy(
                         feat_hbm.at[pl.ds(c0, wch)], wf1_ref,
                         fsem1).start()
-                    pltpu.make_async_copy(
-                        ksh_hbm.at[pl.ds(0, wch)], wk1_ref,
-                        ksem1).wait()
+                    if not posmode:
+                        pltpu.make_async_copy(
+                            ksh_hbm.at[pl.ds(0, wch)], wk1_ref,
+                            ksem1).wait()
                     pltpu.make_async_copy(
                         feat_hbm.at[pl.ds(0, wch)], wf1_ref,
                         fsem1).wait()
@@ -554,7 +599,8 @@ def _dg_fwd_kernel(
                     def feat_row(q, j, craw, p=p):
                         return wf1_ref[j, craw:craw + 1, :]
 
-                    gather_all(key_row, feat_row, accumulate=True)
+                    gather_all(key_row, feat_row, accumulate=True,
+                               wi=wi, plane=p)
             return carry
 
         jax.lax.fori_loop(1, mx, sweep, 0)
@@ -586,10 +632,211 @@ def _dg_fwd_kernel(
             out_ref[0, :, lanes] = out.astype(out_ref.dtype)
 
 
+# ---------------------------------------------------------------------------
+# cached match positions — the binary-search result depends only on the
+# GEOMETRY (sorted keys + window plan), so subm stages that share an
+# ``indice_key`` (4–5 layers each in SECOND/CenterPoint encoders) can
+# run the search ONCE and reuse the absolute match rows, dropping the
+# per-layer search, probe arithmetic, AND key-window DMA.  Plays the
+# role of the reference's cached pair table (``pytorch/ops.py:360-362``)
+# in output-centric [kv, N_out] layout.
+# ---------------------------------------------------------------------------
+
+def _dg_pos_kernel(
+    kv, R, vprobe_fn, dims, sentinel, groups, n_tiles, window,
+    ws_ref, nw_ref,
+    kt_ref,      # [1, R, 128] int32 — this supertile's keys
+    ptab_ref,    # [R*gs, 128] int32 per-offset constants
+    ksh_hbm,     # [nc, _KROWS, 128] int32 chunked key table
+    pos_ref,     # out [1, G, 128] int32 — absolute match rows (−1 miss)
+    wk_ref, wk1_ref, ksems, ksem1,
+):
+    t = pl.program_id(0)
+    P = len(groups)
+    gp = kv // P
+    wch = window // _LANE
+    gs = _round_up(kv, 8)
+    G = R * gs
+    big = np.int32(2**31 - 1)
+
+    def start_tile(tt, buf):
+        for p in range(P):
+            c0 = ws_ref[p, tt] // _LANE
+            pltpu.make_async_copy(
+                ksh_hbm.at[pl.ds(c0, wch)], wk_ref.at[buf, p],
+                ksems.at[buf, p]).start()
+
+    buf = jax.lax.rem(t, 2)
+
+    @pl.when(t == 0)
+    def _():
+        start_tile(0, 0)
+
+    @pl.when(t + 1 < n_tiles)
+    def _():
+        start_tile(t + 1, jax.lax.rem(t + 1, 2))
+
+    for p in range(P):
+        pltpu.make_async_copy(
+            ksh_hbm.at[pl.ds(0, wch)], wk_ref.at[0, p],
+            ksems.at[buf, p]).wait()
+
+    def stack_rows(build_one):
+        rows = [build_one(r) for r in range(R)]
+        return jnp.concatenate(rows, axis=0) if R > 1 else rows[0]
+
+    ktS = stack_rows(lambda r: jnp.broadcast_to(
+        kt_ref[0, r:r + 1, :], (gs, _LANE)))
+    liveS = ktS != sentinel
+    per_row = [_probe_coords(kt_ref[0, r:r + 1, :], dims)
+               for r in range(R)]
+    coordS = [stack_rows(lambda r, a=a: jnp.broadcast_to(
+        per_row[r][0][a], (gs, _LANE))) for a in range(len(dims))]
+    bidxS = stack_rows(lambda r: jnp.broadcast_to(
+        per_row[r][1], (gs, _LANE)))
+    probes = vprobe_fn(ktS, liveS, coordS, bidxS, ptab_ref[:])
+
+    rowk = jax.lax.rem(
+        jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0), np.int32(gs))
+    pnw = jnp.zeros((G, 1), jnp.int32)
+    wsP = jnp.zeros((G, 1), jnp.int32)
+    for p in range(P):
+        in_p = (rowk >= p * gp) & (rowk < (p + 1) * gp)
+        pnw = jnp.where(in_p, nw_ref[p, t], pnw)
+        wsP = jnp.where(in_p, ws_ref[p, t], wsP)
+    probes = jnp.where(pnw > 0, probes, np.int32(-1))
+
+    def stacked_chunk(rows_per_plane):
+        pieces = [jnp.broadcast_to(rows_per_plane[p], (gp, _LANE))
+                  for p in range(P)]
+        if gs > kv:
+            pieces.append(jnp.full((gs - kv, _LANE), big, jnp.int32))
+        inner = (jnp.concatenate(pieces, axis=0) if len(pieces) > 1
+                 else pieces[0])
+        return (jnp.concatenate([inner] * R, axis=0) if R > 1
+                else inner)
+
+    wkS = [stacked_chunk([wk_ref[buf, p, j, 0:1, :] for p in range(P)])
+           for j in range(wch)]
+    pos, found = _search_window(wkS, probes, window)
+    pos_ref[0] = jnp.where(found, wsP + pos, np.int32(-1))
+
+    mx = nw_ref[0, t]
+    for p in range(1, P):
+        mx = jnp.maximum(mx, nw_ref[p, t])
+
+    @pl.when(mx > 1)
+    def _():
+        def sweep(wi, carry):
+            for p in range(P):
+                @pl.when(wi < nw_ref[p, t])
+                def _(p=p):
+                    c0 = ws_ref[p, t] // _LANE + wi * wch
+                    pltpu.make_async_copy(
+                        ksh_hbm.at[pl.ds(c0, wch)], wk1_ref,
+                        ksem1).start()
+                    pltpu.make_async_copy(
+                        ksh_hbm.at[pl.ds(0, wch)], wk1_ref,
+                        ksem1).wait()
+
+                    def key_row(q, j, p=p):
+                        if q == p:
+                            return wk1_ref[j, 0:1, :]
+                        return jnp.full((1, _LANE), big, jnp.int32)
+
+                    wk1S = [stacked_chunk([key_row(q, j)
+                                           for q in range(P)])
+                            for j in range(wch)]
+                    pos2, found2 = _search_window(wk1S, probes, window)
+                    g2 = jnp.where(
+                        found2, wsP + wi * np.int32(window) + pos2,
+                        np.int32(-1))
+                    # windows are disjoint → at most one match per row
+                    pos_ref[0] = jnp.maximum(pos_ref[0], g2)
+            return carry
+
+        jax.lax.fori_loop(1, mx, sweep, 0)
+
+
+def build_dg_pos(
+    keys: jax.Array, plan_fwd, *, ksize, dilation, spatial_shape,
+    batch_size, window: int, rows: int = 1, reverse: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """Run the windowed binary search ONCE for a subm stage, returning
+    the cached absolute match rows ``[n_tiles, G, 128]`` int32 (−1 =
+    miss) consumed by the posmode forward (``dg_subm_conv(pos=...)``).
+    ``reverse=True`` negates the offsets (the backward's probe map —
+    pass the BWD plan), caching positions for the fused dgrad+wgrad
+    pass instead."""
+    ksize = tuple(int(k) for k in ksize)
+    dilation = tuple(int(d) for d in dilation)
+    dims = tuple(int(s) for s in spatial_shape)
+    deltas_np, disp_np = subm_key_deltas(ksize, dilation, dims)
+    if reverse:
+        deltas_np = -np.asarray(deltas_np)
+        disp_np = -np.asarray(disp_np)
+    groups = sk_groups(ksize, include_center=True)
+    sentinel = int(np.prod(dims)) * int(batch_size)
+    return _build_dg_pos(keys, plan_fwd, deltas_np, disp_np, groups,
+                         dims, sentinel, window, rows, interpret)
+
+
+def _build_dg_pos(keys, plan_fwd, deltas_np, disp_np, groups, dims,
+                  sentinel, window, rows=1, interpret=False):
+    kv = len(deltas_np)
+    gs = _round_up(kv, 8)
+    R = int(rows)
+    G = R * gs
+    tile = R * _LANE
+    n = keys.shape[0]
+    n_tiles = -(-n // tile)
+    np_t = n_tiles * tile
+    _, n_pad = _n_pad_for(n, tile, window)
+    n_pad = _round_up(max(n_pad, np_t), _LANE)
+
+    ksh = chunk_keys(keys, n_pad, sentinel)
+    keys_tiles = _pad_rows(keys, np_t, sentinel).reshape(
+        n_tiles, R, _LANE)
+    ptab = make_ptab(deltas_np, disp_np, gs, rows=R)
+    vprobe = functools.partial(_vec_shift_probes, dims=dims)
+
+    wch = window // _LANE
+    P = len(groups)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, R, _LANE), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, G, _LANE), lambda t, *_: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, P, wch, _KROWS, _LANE), jnp.int32),
+            pltpu.VMEM((wch, _KROWS, _LANE), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, P)),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    kernel = functools.partial(
+        _dg_pos_kernel, kv, R, vprobe, dims, sentinel, groups,
+        n_tiles, window,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, G, _LANE), jnp.int32),
+        interpret=interpret,
+    )(plan_fwd.ws, plan_fwd.nw, keys_tiles, ptab, ksh)
+
+
 def _dg_conv_call(
     table_feats, table_keys, tile_keys, weight_kv, plan, ptab,
     *, vprobe_builder, decode_dims, sentinel_tile, groups,
-    window, out_dtype, rows=1, interpret=False,
+    window, out_dtype, rows=1, interpret=False, pos=None,
 ):
     """Shared DG forward invocation.
 
@@ -620,13 +867,10 @@ def _dg_conv_call(
         cg = c_sub
         perm_c = np.arange(c_sub)
 
-    ksh = chunk_keys(table_keys, n_pad, sentinel_tile)
     if packed:
         feat_ch = chunk_table_packed(table_feats, n_pad, cg)
     else:
         feat_ch = chunk_table(table_feats, n_pad, c_sub)
-    tile_keys_p = _pad_rows(tile_keys, np_t, sentinel_tile)
-    keys_tiles = tile_keys_p.reshape(n_tiles, R, _LANE)
 
     # C axis permuted to the packed unpack order ([even | odd]);
     # column order (cc*gs + k) matches the kernel's gbuf blocks
@@ -638,21 +882,38 @@ def _dg_conv_call(
     wch = window // _LANE
     P = len(groups)
     ftab_dtype = jnp.int32 if packed else jnp.float32
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_tiles,),
-        in_specs=[
+    posmode = pos is not None
+    if posmode:
+        G = R * gs
+        assert pos.shape == (n_tiles, G, _LANE), (pos.shape, n_tiles)
+        in_specs = [
+            pl.BlockSpec((1, G, _LANE), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ]
+        scratch = [
+            pltpu.VMEM((2, P, wch, cg, _LANE), ftab_dtype),
+            pltpu.VMEM((wch, cg, _LANE), ftab_dtype),
+            pltpu.VMEM((R * c_sub * gs, _LANE), comp_dtype),
+            pltpu.SemaphoreType.DMA((2, P)),
+            pltpu.SemaphoreType.DMA,
+        ]
+        operands = (plan.ws, plan.nw, pos, feat_ch,
+                    wflat.astype(comp_dtype))
+    else:
+        ksh = chunk_keys(table_keys, n_pad, sentinel_tile)
+        tile_keys_p = _pad_rows(tile_keys, np_t, sentinel_tile)
+        keys_tiles = tile_keys_p.reshape(n_tiles, R, _LANE)
+        in_specs = [
             pl.BlockSpec((1, R, _LANE), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, k_sub, R * _LANE),
-                               lambda t, *_: (t, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
+        ]
+        scratch = [
             pltpu.VMEM((2, P, wch, _KROWS, _LANE), jnp.int32),
             pltpu.VMEM((2, P, wch, cg, _LANE), ftab_dtype),
             pltpu.VMEM((wch, _KROWS, _LANE), jnp.int32),
@@ -662,12 +923,23 @@ def _dg_conv_call(
             pltpu.SemaphoreType.DMA((2, P)),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
-        ],
+        ]
+        operands = (plan.ws, plan.nw, keys_tiles, ptab, ksh, feat_ch,
+                    wflat.astype(comp_dtype))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, k_sub, R * _LANE),
+                               lambda t, *_: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=scratch,
     )
     kernel = functools.partial(
         _dg_fwd_kernel, kv, c_sub, k_sub, R, vprobe_builder,
         tuple(decode_dims), sentinel_tile, groups, n_tiles, window,
         comp_dtype, "pack2" if packed else "f32", "none", False, 0.0,
+        posmode,
     )
     out = pl.pallas_call(
         kernel,
@@ -675,8 +947,7 @@ def _dg_conv_call(
         out_shape=jax.ShapeDtypeStruct((n_tiles, k_sub, R * _LANE),
                                        out_dtype),
         interpret=interpret,
-    )(plan.ws, plan.nw, keys_tiles, ptab, ksh, feat_ch,
-      wflat.astype(comp_dtype))
+    )(*operands)
     return unchunk_out(out, n_out, k_ch)
 
 
@@ -684,7 +955,7 @@ def _dg_conv_call_q(
     table_feats_i8, table_keys, tile_keys, weight_kv_i8, plan, ptab,
     *, vprobe_builder, decode_dims, sentinel_tile, groups, window,
     scale, bias, act, out_dtype, add_features=None, add_scale=1.0,
-    rows=1, interpret=False,
+    rows=1, interpret=False, pos=None,
 ):
     """int8 DG forward: quad-packed gather (4 int8 channels per int32
     lane), int8×int8→int32 deep GEMM, fused scale/bias/act/residual/
@@ -704,10 +975,7 @@ def _dg_conv_call_q(
     c_sub = 4 * cq
     perm_c = quad_perm(cq)
 
-    ksh = chunk_keys(table_keys, n_pad, sentinel_tile)
     feat_ch = chunk_table_packed4(table_feats_i8, n_pad, cq)
-    tile_keys_p = _pad_rows(tile_keys, np_t, sentinel_tile)
-    keys_tiles = tile_keys_p.reshape(n_tiles, R, _LANE)
 
     wpad = jnp.pad(weight_kv_i8,
                    ((0, gs - kv), (0, c_sub - c), (0, k_sub - k_ch)))
@@ -725,17 +993,35 @@ def _dg_conv_call_q(
     have_add = add_features is not None
     wch = window // _LANE
     P = len(groups)
-    in_specs = [
-        pl.BlockSpec((1, R, _LANE), lambda t, *_: (t, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pl.ANY),
-        pl.BlockSpec(memory_space=pl.ANY),
-        pl.BlockSpec(memory_space=pltpu.VMEM),
-        pl.BlockSpec((2, k_sub, _LANE), lambda t, *_: (0, 0, 0),
-                     memory_space=pltpu.VMEM),
-    ]
-    args = [plan.ws, plan.nw, keys_tiles, ptab, ksh, feat_ch, wflat, scb]
+    posmode = pos is not None
+    if posmode:
+        G = R * gs
+        assert pos.shape == (n_tiles, G, _LANE), (pos.shape, n_tiles)
+        in_specs = [
+            pl.BlockSpec((1, G, _LANE), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, k_sub, _LANE), lambda t, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        args = [plan.ws, plan.nw, pos, feat_ch, wflat, scb]
+    else:
+        ksh = chunk_keys(table_keys, n_pad, sentinel_tile)
+        tile_keys_p = _pad_rows(tile_keys, np_t, sentinel_tile)
+        keys_tiles = tile_keys_p.reshape(n_tiles, R, _LANE)
+        in_specs = [
+            pl.BlockSpec((1, R, _LANE), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, k_sub, _LANE), lambda t, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        args = [plan.ws, plan.nw, keys_tiles, ptab, ksh, feat_ch,
+                wflat, scb]
     if have_add:
         # residual rows align 1:1 with output tile rows (subm add);
         # transposed to the kernel's [k_sub, R*128] out layout
@@ -755,22 +1041,30 @@ def _dg_conv_call_q(
         out_specs=pl.BlockSpec((1, k_sub, R * _LANE),
                                lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2, P, wch, _KROWS, _LANE), jnp.int32),
-            pltpu.VMEM((2, P, wch, cq, _LANE), jnp.int32),
-            pltpu.VMEM((wch, _KROWS, _LANE), jnp.int32),
-            pltpu.VMEM((wch, cq, _LANE), jnp.int32),
-            pltpu.VMEM((R * c_sub * gs, _LANE), jnp.int8),
-            pltpu.SemaphoreType.DMA((2, P)),
-            pltpu.SemaphoreType.DMA((2, P)),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=(
+            [
+                pltpu.VMEM((2, P, wch, cq, _LANE), jnp.int32),
+                pltpu.VMEM((wch, cq, _LANE), jnp.int32),
+                pltpu.VMEM((R * c_sub * gs, _LANE), jnp.int8),
+                pltpu.SemaphoreType.DMA((2, P)),
+                pltpu.SemaphoreType.DMA,
+            ] if posmode else [
+                pltpu.VMEM((2, P, wch, _KROWS, _LANE), jnp.int32),
+                pltpu.VMEM((2, P, wch, cq, _LANE), jnp.int32),
+                pltpu.VMEM((wch, _KROWS, _LANE), jnp.int32),
+                pltpu.VMEM((wch, cq, _LANE), jnp.int32),
+                pltpu.VMEM((R * c_sub * gs, _LANE), jnp.int8),
+                pltpu.SemaphoreType.DMA((2, P)),
+                pltpu.SemaphoreType.DMA((2, P)),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ]
+        ),
     )
     kernel = functools.partial(
         _dg_fwd_kernel, kv, c_sub, k_sub, R, vprobe_builder,
         tuple(decode_dims), sentinel_tile, groups, n_tiles, window,
-        jnp.int8, "q4", act, have_add, float(add_scale),
+        jnp.int8, "q4", act, have_add, float(add_scale), posmode,
     )
     out = pl.pallas_call(
         kernel,
@@ -799,6 +1093,7 @@ def dg_subm_conv_q(
     window: int = 384,
     rows_per_tile: int = 1,
     plans: Optional[Tuple[SKPlan, SKPlan]] = None,
+    pos: Optional[jax.Array] = None,
     interpret: bool = False,
 ) -> jax.Array:
     """int8 dynamic-gather subm conv with the fused epilogue, including
@@ -834,7 +1129,7 @@ def dg_subm_conv_q(
         vprobe_builder=vprobe, decode_dims=dims, sentinel_tile=sentinel,
         groups=groups, window=window, scale=scale, bias=bias, act=act,
         out_dtype=out_dtype, add_features=add_features,
-        add_scale=add_scale, rows=R, interpret=interpret,
+        add_scale=add_scale, rows=R, interpret=interpret, pos=pos,
     )
 
 
@@ -928,19 +1223,34 @@ def dg_regular_conv_q(
 
 def _dg_bwd_kernel(
     kv, c_sub, k_sub, probe_fn, dims, sentinel, groups,
-    n_tiles, window, comp_dtype, packed,
+    n_tiles, window, comp_dtype, packed, posmode,
     ws_ref, nw_ref,
-    kt_ref,      # [1, 1, 128] — tile keys (input rows)
-    ft_ref,      # [tile, c_sub] — forward features tile (wgrad operand)
-    ksh_hbm,     # chunked table keys (dout side)
-    dout_hbm,    # [nc, kg, 128] chunked dout table (i32 packed / f32)
-    wdg_ref,     # [c_sub, kv*k_sub] comp_dtype — W[k] blocks (dgrad),
-                 #   K-axis permuted to the unpack order when packed
-    din_ref,     # [1, c_sub, 128]
-    dw_ref,      # [kv*k_sub, c_sub] f32 — grid-accumulated, K-permuted
-    wk2_ref, wf2_ref, wk1_ref, wf1_ref, gbuf_ref,
-    ksem2, fsem2, ksem1, fsem1,
+    *args,
+    # posmode=False inputs: kt_ref [1, 1, 128] (tile keys, input rows);
+    #   ft_ref [tile, c_sub] (forward features tile, wgrad operand);
+    #   ksh_hbm chunked table keys (dout side); dout_hbm [nc, kg, 128]
+    #   chunked dout table (i32 packed / f32); wdg_ref
+    #   [c_sub, kv*k_sub] comp_dtype — W[k] blocks (dgrad), K-axis
+    #   permuted to the unpack order when packed
+    # posmode=True: kt/ksh replaced by pos_ref [1, gs, 128] int32 —
+    #   cached REVERSED match rows (build_dg_pos(reverse=True) on the
+    #   bwd plan); no probes, no search, no key DMA
+    # outputs: din_ref [1, c_sub, 128];
+    #          dw_ref [kv*k_sub, c_sub] f32 grid-accumulated, K-permuted
+    # scratch: wk2/wf2 double-buffered windows (wk2 absent in posmode),
+    #          wk1/wf1 sweep buffers (wk1 absent in posmode),
+    #          gbuf [kv*k_sub, 128]; DMA semaphores
 ):
+    kt_ref = ksh_hbm = pos_ref = None
+    wk2_ref = wk1_ref = ksem2 = ksem1 = None
+    if posmode:
+        (pos_ref, ft_ref, dout_hbm, wdg_ref, din_ref, dw_ref,
+         wf2_ref, wf1_ref, gbuf_ref, fsem2, fsem1) = args
+    else:
+        (kt_ref, ft_ref, ksh_hbm, dout_hbm, wdg_ref, din_ref, dw_ref,
+         wk2_ref, wf2_ref, wk1_ref, wf1_ref, gbuf_ref,
+         ksem2, fsem2, ksem1, fsem1) = args
+
     t = pl.program_id(0)
     n_planes = len(groups)
     wch = window // _LANE
@@ -950,26 +1260,29 @@ def _dg_bwd_kernel(
     def _():
         dw_ref[:] = jnp.zeros_like(dw_ref)
 
-    kt = kt_ref[0, 0]
-    live = kt != sentinel
-    coord, bidx = _probe_coords(kt, dims)
+    if not posmode:
+        kt = kt_ref[0, 0]
+        live = kt != sentinel
+        coord, bidx = _probe_coords(kt, dims)
 
     def start_dma2(step, buf):
         tt = step // n_planes
         pp = step % n_planes
         c0 = ws_ref[pp, tt] // _LANE
-        pltpu.make_async_copy(
-            ksh_hbm.at[pl.ds(c0, wch)], wk2_ref.at[buf], ksem2.at[buf],
-        ).start()
+        if not posmode:
+            pltpu.make_async_copy(
+                ksh_hbm.at[pl.ds(c0, wch)], wk2_ref.at[buf],
+                ksem2.at[buf]).start()
         pltpu.make_async_copy(
             dout_hbm.at[pl.ds(c0, wch)], wf2_ref.at[buf], fsem2.at[buf],
         ).start()
 
     def start_dma1(pp, wi, buf):
         c0 = ws_ref[pp, t] // _LANE + wi * wch
-        pltpu.make_async_copy(
-            ksh_hbm.at[pl.ds(c0, wch)], wk1_ref.at[buf], ksem1.at[buf],
-        ).start()
+        if not posmode:
+            pltpu.make_async_copy(
+                ksh_hbm.at[pl.ds(c0, wch)], wk1_ref.at[buf],
+                ksem1.at[buf]).start()
         pltpu.make_async_copy(
             dout_hbm.at[pl.ds(c0, wch)], wf1_ref.at[buf], fsem1.at[buf],
         ).start()
@@ -988,36 +1301,50 @@ def _dg_bwd_kernel(
         def _(s=s):
             start_dma2(s + 1, (s + 1) % 2)
 
-        pltpu.make_async_copy(
-            ksh_hbm.at[pl.ds(0, wch)], wk2_ref.at[buf], ksem2.at[buf],
-        ).wait()
+        if not posmode:
+            pltpu.make_async_copy(
+                ksh_hbm.at[pl.ds(0, wch)], wk2_ref.at[buf],
+                ksem2.at[buf]).wait()
         pltpu.make_async_copy(
             dout_hbm.at[pl.ds(0, wch)], wf2_ref.at[buf], fsem2.at[buf],
         ).wait()
 
         nw = nw_ref[p, t]
-        plive = live & (nw > 0)
         g_sub = _round_up(len(grp), 8)
-        prows = [probe_fn(kt, plive, coord, bidx, k).reshape(1, _LANE)
-                 for k in grp]
-        if g_sub > len(grp):
-            prows = prows + [jnp.full((g_sub - len(grp), _LANE),
-                                      np.int32(-1), jnp.int32)]
-        probes = (jnp.concatenate(prows, axis=0) if len(prows) > 1
-                  else prows[0])
+        if not posmode:
+            plive = live & (nw > 0)
+            prows = [probe_fn(kt, plive, coord, bidx, k)
+                     .reshape(1, _LANE) for k in grp]
+            if g_sub > len(grp):
+                prows = prows + [jnp.full((g_sub - len(grp), _LANE),
+                                          np.int32(-1), jnp.int32)]
+            probes = (jnp.concatenate(prows, axis=0) if len(prows) > 1
+                      else prows[0])
 
         @pl.when(nw > 1)
         def _(p=p):
             start_dma1(p, 1, 1)
 
-        def window_pass(wk_ref_buf, wf_ref_buf, g_sub=g_sub):
+        def window_pass(wk_ref_buf, wf_ref_buf, wi=None, p=p,
+                        g_sub=g_sub, grp=grp):
+            wf_chunks = [wf_ref_buf[j] for j in range(wch)]
+            if posmode:
+                outs = []
+                for i, k in enumerate(grp):
+                    gp1 = pos_ref[0, k:k + 1, :]
+                    lp = gp1 - ws_ref[p, t]
+                    if wi is not None:
+                        lp = lp - wi * np.int32(window)
+                    fnd = (gp1 >= 0) & (lp >= 0) & (lp < window)
+                    pos1 = jnp.clip(lp, 0, window - 1)
+                    outs.append(_gather_feat(wf_chunks, pos1, fnd, kg))
+                return outs
             # broadcast key rows to the probe stack height: Mosaic's
             # take_along_axis only supports exact-2D matching shapes
             wk_chunks = [
                 jnp.broadcast_to(wk_ref_buf[j, 0:1, :], (g_sub, _LANE))
                 for j in range(wch)
             ]
-            wf_chunks = [wf_ref_buf[j] for j in range(wch)]
             pos, found = _search_window(wk_chunks, probes, window)
             return [
                 _gather_feat(wf_chunks, pos[i:i + 1], found[i:i + 1],
@@ -1025,7 +1352,8 @@ def _dg_bwd_kernel(
                 for i in range(len(grp))
             ]
 
-        outs = window_pass(wk2_ref[buf], wf2_ref[buf])
+        outs = window_pass(wk2_ref[buf] if not posmode else None,
+                           wf2_ref[buf])
 
         def extra(wi, accs, p=p):
             sb = jax.lax.rem(wi, 2)
@@ -1033,13 +1361,15 @@ def _dg_bwd_kernel(
             @pl.when(wi + 1 < nw)
             def _():
                 start_dma1(p, wi + 1, jax.lax.rem(wi + 1, 2))
-            pltpu.make_async_copy(
-                ksh_hbm.at[pl.ds(0, wch)], wk1_ref.at[0], ksem1.at[sb],
-            ).wait()
+            if not posmode:
+                pltpu.make_async_copy(
+                    ksh_hbm.at[pl.ds(0, wch)], wk1_ref.at[0],
+                    ksem1.at[sb]).wait()
             pltpu.make_async_copy(
                 dout_hbm.at[pl.ds(0, wch)], wf1_ref.at[0], fsem1.at[sb],
             ).wait()
-            eo = window_pass(wk1_ref[sb], wf1_ref[sb])
+            eo = window_pass(wk1_ref[sb] if not posmode else None,
+                             wf1_ref[sb], wi=wi)
             # at most one window matches per lane and misses are exact
             # zeros (valid for packed int32 too), so add combines windows
             return [a + e for a, e in zip(accs, eo)]
@@ -1072,11 +1402,13 @@ def _dg_bwd_kernel(
 def _dg_bwd_call(
     tile_feats, tile_keys, dout_table, table_keys, weight_kv, plan_bwd,
     *, probe_fn, decode_dims, sentinel_tile, groups, window,
-    interpret=False,
+    interpret=False, pos=None,
 ):
     """Fused dgrad+wgrad.  Tiles run over the INPUT rows; gathers read
-    the chunked ``dout_table`` through the reversed probes.  Returns
-    ``(din [N_in, C], dw [kv, C, K])``."""
+    the chunked ``dout_table`` through the reversed probes — or, when
+    ``pos`` (the cached ``build_dg_pos(reverse=True)`` table on the bwd
+    plan) is given, through the cached match rows with no search or key
+    DMA at all.  Returns ``(din [N_in, C], dw [kv, C, K])``."""
     kv, c, k_ch = weight_kv.shape
     c_sub = _round_up(c, 8)
     k_sub = _round_up(k_ch, 8)
@@ -1100,7 +1432,6 @@ def _dg_bwd_call(
         perm_k = np.arange(k_sub)
     inv_perm_k = np.argsort(perm_k)
 
-    ksh = chunk_keys(table_keys, n_pad, sentinel_tile)
     if packed:
         dout_ch = chunk_table_packed(dout_table, n_pad, kg)
     else:
@@ -1108,8 +1439,6 @@ def _dg_bwd_call(
     feat_p = _pad_lanes(
         _pad_rows(tile_feats, np_t, 0), c_sub).astype(
             comp_dtype if packed else tile_feats.dtype)
-    tile_keys_p = _pad_rows(tile_keys, np_t, sentinel_tile)
-    keys_tiles = tile_keys_p.reshape(n_tiles, 1, tile)
 
     # dgrad weights: din_tile = Σ_k W[k] [C,K] @ gathered_k [K,128];
     # K axis permuted to the packed unpack order ([even | odd])
@@ -1118,10 +1447,33 @@ def _dg_bwd_call(
     wdg = jnp.transpose(wpad, (1, 0, 2)).reshape(c_sub, kv * k_sub)
 
     wch = window // _LANE
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_tiles,),
-        in_specs=[
+    posmode = pos is not None
+    dout_dtype = jnp.int32 if packed else jnp.float32
+    if posmode:
+        gs = _round_up(kv, 8)
+        assert pos.shape == (n_tiles, gs, _LANE), (pos.shape, n_tiles)
+        in_specs = [
+            pl.BlockSpec((1, gs, _LANE), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, c_sub), lambda t, *_: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ]
+        scratch = [
+            pltpu.VMEM((2, wch, kg, _LANE), dout_dtype),
+            pltpu.VMEM((2, wch, kg, _LANE), dout_dtype),
+            pltpu.VMEM((kv * k_sub, _LANE), comp_dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+        operands = (plan_bwd.ws, plan_bwd.nw, pos, feat_p, dout_ch,
+                    wdg.astype(comp_dtype))
+    else:
+        ksh = chunk_keys(table_keys, n_pad, sentinel_tile)
+        tile_keys_p = _pad_rows(tile_keys, np_t, sentinel_tile)
+        keys_tiles = tile_keys_p.reshape(n_tiles, 1, tile)
+        in_specs = [
             pl.BlockSpec((1, 1, tile), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, c_sub), lambda t, *_: (t, 0),
@@ -1129,31 +1481,36 @@ def _dg_bwd_call(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        ]
+        scratch = [
+            pltpu.VMEM((2, wch, _KROWS, _LANE), jnp.int32),
+            pltpu.VMEM((2, wch, kg, _LANE), dout_dtype),
+            pltpu.VMEM((2, wch, _KROWS, _LANE), jnp.int32),
+            pltpu.VMEM((2, wch, kg, _LANE), dout_dtype),
+            pltpu.VMEM((kv * k_sub, _LANE), comp_dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+        operands = (plan_bwd.ws, plan_bwd.nw, keys_tiles, feat_p, ksh,
+                    dout_ch, wdg.astype(comp_dtype))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, c_sub, _LANE), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((kv * k_sub, c_sub), lambda t, *_: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((2, wch, _KROWS, _LANE), jnp.int32),
-            pltpu.VMEM((2, wch, kg, _LANE),
-                       jnp.int32 if packed else jnp.float32),
-            pltpu.VMEM((2, wch, _KROWS, _LANE), jnp.int32),
-            pltpu.VMEM((2, wch, kg, _LANE),
-                       jnp.int32 if packed else jnp.float32),
-            pltpu.VMEM((kv * k_sub, _LANE), comp_dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
     )
     kernel = functools.partial(
         _dg_bwd_kernel, kv, c_sub, k_sub, probe_fn,
         tuple(decode_dims), sentinel_tile, groups, n_tiles, window,
-        comp_dtype, packed,
+        comp_dtype, packed, posmode,
     )
     din, dwt = pl.pallas_call(
         kernel,
@@ -1164,8 +1521,7 @@ def _dg_bwd_call(
             jax.ShapeDtypeStruct((kv * k_sub, c_sub), jnp.float32),
         ],
         interpret=interpret,
-    )(plan_bwd.ws, plan_bwd.nw, keys_tiles, feat_p, ksh,
-      dout_ch, wdg.astype(comp_dtype))
+    )(*operands)
     din2 = unchunk_out(din, n_in, c)
     # undo the packed K permutation; dwt rows are [kv, k_sub(perm)]
     dw = jnp.transpose(
@@ -1242,6 +1598,60 @@ def _dg_conv_bwd(geom, res, g):
 _dg_conv.defvjp(_dg_conv_fwd, _dg_conv_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _dg_conv_p(features, keys, weight_kv, plans, pos, geom: _DGGeom):
+    """Posmode subm conv: forward consumes the cached match rows
+    (no in-kernel search); backward is the standard fused
+    dgrad+wgrad pass."""
+    plan_fwd, _ = plans
+    return _dg_conv_call(
+        features, keys, keys, weight_kv, plan_fwd, None,
+        vprobe_builder=None,
+        decode_dims=geom.dims, sentinel_tile=geom.sentinel,
+        groups=geom.groups, window=geom.window,
+        out_dtype=features.dtype, rows=geom.rows,
+        interpret=geom.interpret, pos=pos,
+    )
+
+
+def _dg_conv_p_fwd(features, keys, weight_kv, plans, pos, geom):
+    out = _dg_conv_p(features, keys, weight_kv, plans, pos, geom)
+    # cache the REVERSED positions for the fused dgrad+wgrad pass.
+    # Built here (not in the module) so pure inference never pays for
+    # it; identical builds across a stage's layers are deduplicated by
+    # XLA CSE (same operands, same pure kernel).
+    deltas, disp = _geom_deltas(geom)
+    pos_bwd = _build_dg_pos(
+        keys, plans[1], -deltas, -disp, geom.groups, geom.dims,
+        geom.sentinel, geom.window, rows=1, interpret=geom.interpret)
+    return out, (features, keys, weight_kv, plans, pos.shape, pos_bwd)
+
+
+def _dg_conv_p_bwd(geom, res, g):
+    features, keys, weight_kv, plans, pos_shape, pos_bwd = res
+    g = g.astype(features.dtype)
+    deltas, disp = _geom_deltas(geom)
+    rev = (-deltas, -disp)
+    _, plan_bwd = plans
+    din, dw_kv = _dg_bwd_call(
+        features, keys, g, keys, weight_kv, plan_bwd,
+        probe_fn=_probe_shift_fn(rev, geom.dims),
+        decode_dims=geom.dims, sentinel_tile=geom.sentinel,
+        groups=geom.groups, window=geom.window,
+        interpret=geom.interpret, pos=pos_bwd,
+    )
+    zf = jax.dtypes.float0
+    return (din.astype(features.dtype),
+            np.zeros(keys.shape, dtype=zf),
+            dw_kv.astype(weight_kv.dtype),
+            jax.tree_util.tree_map(
+                lambda x: np.zeros(np.shape(x), dtype=zf), plans),
+            np.zeros(pos_shape, dtype=zf))
+
+
+_dg_conv_p.defvjp(_dg_conv_p_fwd, _dg_conv_p_bwd)
+
+
 def dg_subm_conv(
     features: jax.Array,   # [N, C]
     keys: jax.Array,       # [N] int32 sorted linearized keys
@@ -1253,6 +1663,7 @@ def dg_subm_conv(
     window: int = 384,
     rows_per_tile: int = 1,
     plans: Optional[Tuple[SKPlan, SKPlan]] = None,
+    pos: Optional[jax.Array] = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Dynamic-gather subm conv on a key-sorted tensor → ``[N, K]``.
@@ -1305,6 +1716,8 @@ def dg_subm_conv(
         dims=dims, sentinel=sentinel, window=window, groups=groups,
         interpret=interpret, rows=R,
     )
+    if pos is not None:
+        return _dg_conv_p(features, keys, weight_kv, plans, pos, geom)
     return _dg_conv(features, keys, weight_kv, plans, geom)
 
 
@@ -1466,13 +1879,16 @@ def dg_regular_conv(
 
 
 class DGData:
-    """Cached DG state for an ``indice_key`` stage: sorted keys + the
-    (fwd, bwd) 128-aligned window plans (pytree; mirrors ``SKData``)."""
+    """Cached DG state for an ``indice_key`` stage: sorted keys, the
+    (fwd, bwd) 128-aligned window plans, and the cached match-position
+    table (``build_dg_pos``) every later layer of the stage reuses
+    (pytree; mirrors ``SKData``)."""
 
     def __init__(self, keys, plans, *, ksize, dilation, spatial_shape,
-                 window):
+                 window, pos=None):
         self.keys = keys
         self.plans = plans
+        self.pos = pos
         self.ksize = tuple(ksize)
         self.dilation = tuple(dilation)
         self.spatial_shape = tuple(spatial_shape)
@@ -1485,13 +1901,13 @@ class DGData:
 
 
 def _dgdata_flatten(obj):
-    return ((obj.keys, obj.plans),
+    return ((obj.keys, obj.plans, obj.pos),
             (obj.ksize, obj.dilation, obj.spatial_shape, obj.window))
 
 
 def _dgdata_unflatten(aux, children):
     obj = object.__new__(DGData)
-    obj.keys, obj.plans = children
+    obj.keys, obj.plans, obj.pos = children
     obj.ksize, obj.dilation, obj.spatial_shape, obj.window = aux
     return obj
 

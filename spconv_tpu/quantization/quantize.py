@@ -164,29 +164,73 @@ class QuantizedSparseConv(Module):
         bias_q = (self.bias / self.output_scale
                   if self.bias is not None else None)
         if fused_ok and cfg.subm:
+            from ..ops.pallas import sorted_conv as _SK
             from ..ops.pallas.dg_conv import (
-                dg_rows_for, dg_subm_conv_q, dg_window_for)
+                DGData, build_dg_pos, dg_rows_for, dg_subm_conv_q,
+                dg_window_for)
 
-            keys, _ = _C.linearize(x.indices, x.spatial_shape,
-                                   x.batch_size)
+            spatial_shape = tuple(int(v) for v in x.spatial_shape)
             rows = dg_rows_for(self.weight_i8.shape[-1],
                                self.weight_i8.shape[0])
+            window = dg_window_for(rows)
+            # stage-level reuse (mirrors SparseConvolution._call_dg):
+            # the windowed binary search runs once per indice_key; every
+            # later int8 subm layer of the stage reuses the cached
+            # match-position table
+            ck = DGData.cache_key(
+                cfg.indice_key, cfg.kernel_size, cfg.dilation, window,
+                rows=rows) if cfg.indice_key is not None else None
+            rec = x.indice_dict.get(ck) if ck else None
+            new_rec = None
+            pos = None
+            if rec is not None and isinstance(rec, DGData):
+                keys, plans, pos = rec.keys, rec.plans, rec.pos
+            else:
+                keys, _ = _C.linearize(x.indices, x.spatial_shape,
+                                       x.batch_size)
+                deltas_np, _ = _SK.subm_key_deltas(
+                    cfg.kernel_size, cfg.dilation, spatial_shape)
+                groups = _SK.sk_groups(cfg.kernel_size,
+                                       include_center=True)
+                sent_i = int(np.prod(spatial_shape)) * int(x.batch_size)
+                np_t, n_pad = _SK._n_pad_for(
+                    keys.shape[0], 128 * rows, window)
+                plans = _SK.build_sk_plans(
+                    _SK._pad_rows(keys, np_t, sent_i), sent_i,
+                    deltas_np, groups, tile=128 * rows, window=window,
+                    n_pad=n_pad, align=128)
+                if ck:
+                    pos = build_dg_pos(
+                        keys, plans[0], ksize=cfg.kernel_size,
+                        dilation=cfg.dilation,
+                        spatial_shape=spatial_shape,
+                        batch_size=x.batch_size, window=window,
+                        rows=rows)
+                    new_rec = DGData(
+                        keys, plans, ksize=cfg.kernel_size,
+                        dilation=cfg.dilation,
+                        spatial_shape=spatial_shape, window=window,
+                        pos=pos)
             q = dg_subm_conv_q(
                 x.features, keys, self.weight_i8, scale, bias_q,
-                spatial_shape=tuple(int(v) for v in x.spatial_shape),
+                spatial_shape=spatial_shape,
                 batch_size=x.batch_size, dilation=cfg.dilation,
                 act=self.act_type, out_dtype=jnp.int8,
                 add_features=(add_input.features
                               if add_input is not None else None),
                 add_scale=float(add_scale) / self.output_scale,
-                window=dg_window_for(rows), rows_per_tile=rows,
+                window=window, rows_per_tile=rows, plans=plans,
+                pos=pos,
             )
             valid = x.indices[:, 0] >= 0
             q = jnp.where(valid[:, None], q, 0)
-            return SparseConvTensor(
+            out = SparseConvTensor(
                 q, x.indices, x.spatial_shape, x.batch_size,
                 num_voxels=x.num_voxels,
                 indice_dict=dict(x.indice_dict), keys_sorted=True)
+            if new_rec is not None:
+                out.indice_dict[ck] = new_rec
+            return out
         if fused_ok and cfg.inverse and add_input is None:
             from ..ops.pallas.dg_conv import dg_regular_conv_q
             from ..ops.pallas.sorted_conv import SKRegData

@@ -679,3 +679,95 @@ def test_dg_rows_strided_module(rng, monkeypatch):
         np.asarray(z_dg.features), np.asarray(z_nat.features),
         rtol=2e-4, atol=2e-4)
     assert z_dg.spatial_shape == x.spatial_shape
+
+
+def test_dg_pos_cached_matches_search(rng):
+    """Posmode DG conv (cached match rows, no in-kernel search) must be
+    bit-identical to the searching DG forward, incl. grads and the
+    multi-window sweep path (tiny window forces nw > 1)."""
+    import spconv_tpu  # noqa: F401
+    from spconv_tpu.ops.pallas import sorted_conv as SK
+    from spconv_tpu.ops.pallas.dg_conv import build_dg_pos, dg_subm_conv
+
+    shape = (6, 17, 23)
+    c, k_out = 8, 16
+    feats, inds = _sorted_input(rng, shape, 900, c, 1024)
+    keys, sent = _keys_of(inds, shape, 1)
+    w = jnp.asarray(rng.randn(k_out, 3, 3, 3, c).astype(np.float32))
+
+    for W in (384, 128):  # 128 forces multi-window sweeps
+        deltas_np, _ = SK.subm_key_deltas((3, 3, 3), (1, 1, 1), shape)
+        groups = SK.sk_groups((3, 3, 3), include_center=True)
+        np_t, n_pad = SK._n_pad_for(keys.shape[0], 128, W)
+        plans = SK.build_sk_plans(
+            SK._pad_rows(keys, np_t, sent), sent, deltas_np, groups,
+            tile=128, window=W, n_pad=n_pad, align=128)
+        if W == 128:
+            assert int(np.max(np.asarray(plans[0].nw))) > 1
+
+        pos = build_dg_pos(
+            keys, plans[0], ksize=(3, 3, 3), dilation=(1, 1, 1),
+            spatial_shape=shape, batch_size=1, window=W,
+            interpret=True)
+
+        def f_pos(ft, wt):
+            return jnp.sum(dg_subm_conv(
+                ft, keys, wt, spatial_shape=shape, batch_size=1,
+                dilation=(1, 1, 1), window=W, plans=plans, pos=pos,
+                interpret=True).astype(jnp.float32) ** 2)
+
+        def f_ref(ft, wt):
+            return jnp.sum(dg_subm_conv(
+                ft, keys, wt, spatial_shape=shape, batch_size=1,
+                dilation=(1, 1, 1), window=W, plans=plans,
+                interpret=True).astype(jnp.float32) ** 2)
+
+        out_p = dg_subm_conv(
+            feats, keys, w, spatial_shape=shape, batch_size=1,
+            dilation=(1, 1, 1), window=W, plans=plans, pos=pos,
+            interpret=True)
+        out_r = dg_subm_conv(
+            feats, keys, w, spatial_shape=shape, batch_size=1,
+            dilation=(1, 1, 1), window=W, plans=plans,
+            interpret=True)
+        np.testing.assert_array_equal(np.asarray(out_p),
+                                      np.asarray(out_r))
+
+        gp = jax.grad(f_pos, argnums=(0, 1))(feats, w)
+        gr = jax.grad(f_ref, argnums=(0, 1))(feats, w)
+        for a, b in zip(gp, gr):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_dg_pos_module_cache_reuse(rng):
+    """Two subm layers sharing an indice_key: the second must reuse the
+    first's cached DGData pos table, and the stacked outputs must match
+    the native gather path."""
+    import spconv_tpu
+    from spconv_tpu.ops.pallas.dg_conv import DGData
+
+    shape = (11, 13, 17)
+    c = 8
+    feats, inds = _sorted_input(rng, shape, 400, c, 512)
+    x = spconv_tpu.SparseConvTensor(feats, inds, shape, 1,
+                                    keys_sorted=True)
+    rngk = jax.random.PRNGKey(3)
+    net = spconv_tpu.SparseSequential(
+        spconv_tpu.SubMConv3d(c, c, 3, indice_key="s0", algo="dg",
+                              key=rngk),
+        spconv_tpu.SubMConv3d(c, c, 3, indice_key="s0", algo="dg",
+                              key=jax.random.PRNGKey(4)),
+    )
+    out = net(x)
+    recs = [v for v in out.indice_dict.values()
+            if isinstance(v, DGData)]
+    assert len(recs) == 1 and recs[0].pos is not None
+
+    net_ref = spconv_tpu.SparseSequential(
+        net.layers[0].replace(algo="native"),
+        net.layers[1].replace(algo="native"),
+    )
+    ref = net_ref(x)
+    np.testing.assert_allclose(
+        np.asarray(out.features), np.asarray(ref.features),
+        rtol=5e-5, atol=5e-5)
