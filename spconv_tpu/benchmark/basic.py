@@ -68,14 +68,15 @@ class BenchNet(spconv_tpu.Module):
             )
         self.pools = pools
 
-    def __call__(self, x: SparseConvTensor) -> SparseConvTensor:
+    def __call__(self, x: SparseConvTensor,
+                 training: bool = False) -> SparseConvTensor:
         c, p = self.convs, self.pools
         for stage in range(6):
-            x = c[2 * stage](x)
-            x = c[2 * stage + 1](x)
+            x = c[2 * stage](x, training=training)
+            x = c[2 * stage + 1](x, training=training)
             x = p[stage](x)
-        x = c[12](x)
-        x = c[13](x)
+        x = c[12](x, training=training)
+        x = c[13](x, training=training)
         return x
 
 

@@ -53,15 +53,24 @@ def load_centerpoint_input(dtype=jnp.bfloat16, bucket=1024, batch=1):
 
 
 def build_calibrated_encoder(x: SparseConvTensor, dtype=jnp.bfloat16,
-                             algo=None):
+                             algo=None, bounds=None):
+    """CenterPoint encoder with deployment-calibrated buffer bounds.
+
+    ``bounds`` (from :func:`spconv_tpu.calibrate.export_out_bounds`)
+    skips the eager calibration pass — essential when the device sits
+    behind a high-latency tunnel where per-op dispatch costs ~40 ms
+    (the bench caches bounds on disk via ``tools/bench_calib.py``)."""
+    from spconv_tpu.calibrate import apply_out_bounds
+
     net32 = centerpoint_encoder(in_channels=5, bn=False, dtype=jnp.float32,
                                 algo=algo)
-    x32 = x.replace_feature(x.features.astype(jnp.float32))
-    net32 = calibrate_out_bounds(net32, lambda m, t: m.bev(t), [x32],
-                                 margin=1.15, mult=512)
+    if bounds is not None:
+        net32 = apply_out_bounds(net32, bounds)
+    else:
+        x32 = x.replace_feature(x.features.astype(jnp.float32))
+        net32 = calibrate_out_bounds(net32, lambda m, t: m.bev(t), [x32],
+                                     margin=1.15, mult=512)
     # rebuild in bf16 with the calibrated bounds
-    from spconv_tpu.checkpoint import load_state_dict, state_dict
-
     net16 = jax.tree_util.tree_map(
         lambda v: v.astype(dtype)
         if hasattr(v, "dtype") and jnp.issubdtype(v.dtype, jnp.floating)

@@ -20,7 +20,8 @@ import numpy as np
 
 from .module import Module
 
-__all__ = ["calibrate_out_bounds", "record_voxel_counts"]
+__all__ = ["calibrate_out_bounds", "record_voxel_counts",
+           "export_out_bounds", "apply_out_bounds"]
 
 _RECORDER: contextvars.ContextVar = contextvars.ContextVar(
     "spconv_tpu_voxel_recorder", default=None
@@ -95,3 +96,70 @@ def calibrate_out_bounds(net: Module, run, inputs: Sequence,
         for x in inputs:
             run(net, x)
     return _rebind_bounds(net, rec, margin, mult)
+
+
+def _walk_layers(obj, out: List):
+    """Deterministic traversal collecting every conv/pool layer (the
+    order ``export_out_bounds``/``apply_out_bounds`` share)."""
+    from .modules.conv import SparseConvolution
+    from .modules.pool import _SparsePoolBase
+
+    if isinstance(obj, (SparseConvolution, _SparsePoolBase)):
+        out.append(obj)
+        return
+    if isinstance(obj, Module):
+        for v in obj.__dict__.values():
+            _walk_layers(v, out)
+        return
+    if isinstance(obj, (list, tuple)):
+        for v in obj:
+            _walk_layers(v, out)
+        return
+    if isinstance(obj, dict):
+        for v in obj.values():
+            _walk_layers(v, out)
+
+
+def export_out_bounds(net: Module) -> List[Optional[int]]:
+    """Per-layer ``out_bound`` list in deterministic traversal order —
+    serializable calibration artifact (a calibration pass is eager per
+    op; exporting lets deployments and benchmarks pay it once and load
+    the bounds from disk, like the reference's recorded
+    ``max_num_voxels`` buffers, ``conv.py:619-639``)."""
+    layers: List = []
+    _walk_layers(net, layers)
+    return [getattr(l, "out_bound", None) for l in layers]
+
+
+def apply_out_bounds(net: Module, bounds: Sequence[Optional[int]]) -> Module:
+    """Inverse of :func:`export_out_bounds`: rebuild ``net`` with the
+    given per-layer bounds (same traversal order)."""
+    layers: List = []
+    _walk_layers(net, layers)
+    assert len(layers) == len(bounds), (
+        f"bounds list has {len(bounds)} entries for {len(layers)} layers")
+    by_id = {id(l): b for l, b in zip(layers, bounds) if b is not None}
+
+    def rebind(obj):
+        from .modules.conv import SparseConvolution
+        from .modules.pool import _SparsePoolBase
+
+        if isinstance(obj, (SparseConvolution, _SparsePoolBase)):
+            if id(obj) in by_id:
+                return obj.replace(out_bound=int(by_id[id(obj)]))
+            return obj
+        if isinstance(obj, Module):
+            new = object.__new__(type(obj))
+            new.__dict__.update(obj.__dict__)
+            for k, v in obj.__dict__.items():
+                new.__dict__[k] = rebind(v)
+            return new
+        if isinstance(obj, list):
+            return [rebind(v) for v in obj]
+        if isinstance(obj, tuple):
+            return tuple(rebind(v) for v in obj)
+        if isinstance(obj, dict):
+            return {k: rebind(v) for k, v in obj.items()}
+        return obj
+
+    return rebind(net)

@@ -23,7 +23,6 @@ SPCONV_FP32_HIGHEST = os.getenv("SPCONV_TPU_FP32_HIGHEST", "0") == "1"
 # ctor args; analog of the reference's num_out_act_bound deployment knob)
 SPCONV_OUT_BOUND_RATIO = float(os.getenv("SPCONV_TPU_OUT_BOUND_RATIO", "2.0"))
 
-# algo selection: "native" (gather-einsum) for now; future: "implicit_gemm"
 # layer default when algo is not given: "auto" resolves per call via
 # the tuner; set SPCONV_TPU_ALGO=native/sk/dg to force one globally
 SPCONV_DEFAULT_ALGO = os.getenv("SPCONV_TPU_ALGO", "auto")

@@ -159,14 +159,23 @@ class SparseConvolution(Module):
         self,
         input: SparseConvTensor,
         add_input: Optional[SparseConvTensor] = None,
+        training: bool = False,
     ) -> SparseConvTensor:
         """Forward, wrapped in a ``jax.named_scope`` so profiler traces
         attribute device time per layer, with per-layer voxel counts
         recorded under ``benchmark=True`` (parity: the reference's
-        benchmark mode, ``conv.py:201-224,253-256,494-501``)."""
+        benchmark mode, ``conv.py:201-224,253-256,494-501``).
+
+        ``training`` feeds the ``algo="auto"`` resolution: the tuner
+        keeps separate winners for inference (forward-only) and training
+        (forward+backward), mirroring the reference's per-op-type tuned
+        caches (kForward / kBackwardInput / kBackwardWeight,
+        ``convops.py:1283-1301``) — in JAX the whole differentiated call
+        runs one algorithm, so the training key selects the algo whose
+        *combined* fwd+bwd time wins."""
         name = self.name or type(self).__name__
         with jax.named_scope(name):
-            out = self._forward(input, add_input)
+            out = self._forward(input, add_input, training=training)
         if input.benchmark:
             from .modules import record_benchmark_layer
 
@@ -184,6 +193,7 @@ class SparseConvolution(Module):
         self,
         input: SparseConvTensor,
         add_input: Optional[SparseConvTensor] = None,
+        training: bool = False,
     ) -> SparseConvTensor:
         assert isinstance(input, SparseConvTensor)
         features = input.features
@@ -208,6 +218,9 @@ class SparseConvolution(Module):
             out.features = out_feat
             return out
 
+        if self.subm:
+            self._maybe_tune_dg_window(input)
+
         algo = self.algo
         if algo == "auto":
             from ..tuner import CONV_TUNER
@@ -222,7 +235,7 @@ class SparseConvolution(Module):
             dg_ok = self._dg_supported(input)
             sig = dict(n=int(indices.shape[0]), c=self.in_channels,
                        k=self.out_channels, kv=kv,
-                       dtype=str(features.dtype))
+                       dtype=str(features.dtype), training=training)
             if (
                 CONV_TUNER.tune_enabled
                 and not isinstance(features, jax.core.Tracer)
@@ -230,7 +243,8 @@ class SparseConvolution(Module):
             ):
                 # tune-on-first-call: measure every supported candidate
                 # on the live tensor, cache the winner (reference
-                # ConvTunerSimple semantics, convops.py:1283-1301)
+                # ConvTunerSimple semantics, convops.py:1283-1301);
+                # training keys measure value_and_grad, not just forward
                 cands = ["native"] + (["sk"] if sk_ok else []) \
                     + (["dg"] if dg_ok else [])
                 algo = CONV_TUNER.tune_conv_algo(self, input, cands,
@@ -524,6 +538,50 @@ class SparseConvolution(Module):
             return False
         return not C.use_pair_keys(out_shape, input.batch_size)
 
+    def _dg_window_sig(self, input: SparseConvTensor, rows: int) -> dict:
+        return dict(n=int(input.indices.shape[0]),
+                    kv=int(np.prod(self.kernel_size)),
+                    shape=tuple(int(s) for s in input.spatial_shape),
+                    batch=int(input.batch_size), tile=128 * rows)
+
+    def _tuned_dg_window(self, input: SparseConvTensor,
+                         rows: int) -> Optional[int]:
+        from ..tuner import CONV_TUNER
+
+        return CONV_TUNER.get_dg_window(**self._dg_window_sig(input, rows))
+
+    def _maybe_tune_dg_window(self, input: SparseConvTensor) -> None:
+        """Window-geometry tuning for the sorted-key kernels: on any
+        EAGER call (keys concrete — calibration passes, deployments,
+        tune-on-first-call) with no cached winner, pick the window from
+        plan statistics and cache it (``choose_dg_window``).  Static
+        plan analysis, hardware-independent, so a CPU calibration run
+        tunes windows for the TPU run.  Disable: SPCONV_TPU_TUNE_WINDOW=0."""
+        import os
+
+        if os.environ.get("SPCONV_TPU_TUNE_WINDOW", "1") == "0":
+            return
+        if isinstance(input.features, jax.core.Tracer):
+            return
+        if not (self.subm and input.keys_sorted):
+            return
+        from ..ops.pallas import dg_conv as DG
+        from ..ops.pallas.dg_conv import dg_rows_for
+        from ..tuner import CONV_TUNER
+
+        rows = dg_rows_for(self.in_channels, self.out_channels)
+        wsig = self._dg_window_sig(input, rows)
+        if CONV_TUNER.get_dg_window(**wsig) is not None:
+            return
+        spatial_shape = tuple(int(s) for s in input.spatial_shape)
+        keys_t, _s = C.linearize(input.indices, spatial_shape,
+                                 input.batch_size)
+        sent_t = int(np.prod(spatial_shape)) * int(input.batch_size)
+        window = DG.choose_dg_window(
+            keys_t, sent_t, spatial_shape, self.kernel_size,
+            self.dilation, tile=128 * rows)
+        CONV_TUNER.cache_dg_window(window=window, **wsig)
+
     def _call_dg(
         self,
         input: SparseConvTensor,
@@ -542,8 +600,14 @@ class SparseConvolution(Module):
         spatial_shape = tuple(int(s) for s in input.spatial_shape)
         batch_size = input.batch_size
         rows = dg_rows_for(self.in_channels, self.out_channels)
-        window = dg_window_for(rows)
         interpret = jax.default_backend() == "cpu"
+
+        # window geometry: tuned per (n, kv, grid, batch) when a cached
+        # winner exists (the fixed default mis-sizes at high voxel
+        # density — round-3 large-scan regression); the tuning itself
+        # runs in _maybe_tune_dg_window on any eager call
+        window = (self._tuned_dg_window(input, rows)
+                  or dg_window_for(rows))
 
         ck = DG.DGData.cache_key(
             self.indice_key, self.kernel_size, self.dilation, window,

@@ -59,7 +59,7 @@ __all__ = [
     "dg_subm_conv", "dg_regular_conv", "dg_subm_conv_q",
     "dg_regular_conv_q", "chunk_table", "chunk_keys",
     "unchunk_out", "DGData", "dg_rows_for", "dg_window_for",
-    "build_dg_pos",
+    "build_dg_pos", "choose_dg_window",
 ]
 
 _KROWS = 8  # sublane rows in the chunked key table (row 0 = keys)
@@ -86,6 +86,48 @@ def dg_window_for(rows: int) -> int:
     """Window size for R-row supertiles: per-128-row reach (~256 keys
     measured on the bench scans) plus the supertile's own span."""
     return 256 + 128 * int(rows)
+
+
+def choose_dg_window(keys, sentinel, shape, ksize, dilation,
+                     tile: int = 128,
+                     candidates=(256, 384, 512, 768, 1024)) -> int:
+    """Pick the window size minimizing estimated kernel cost for THIS
+    key distribution (an eager, cacheable tuning decision — the window
+    is a static kernel parameter, so it must be chosen before trace).
+
+    The round-3 large-scan regression was exactly this: the fixed
+    384-row window forced serial multi-window sweeps on 30-71% of tiles
+    at 900k-voxel density (nw up to 28).  Cost model per window size:
+    every pass costs ∝ wch (window chunks drive DMA, search selects and
+    gathers), the main pass is pipelined but each extra sweep pass is
+    serial (DMA not overlapped) — weighted 4×, calibrated on the 914k
+    scan at C=64 on v5e (384: 32.6 ms/layer, 768: 26.1 — the 2.83×
+    break-even penalty is exceeded, tools/probe_pos.py r4).
+
+    Parity: the reference tuner profiles tile configs on live shapes
+    and caches winners (``convops.py:1150-1467``); here the tunable is
+    the window geometry and the measurement is plan statistics."""
+    from .sorted_conv import (_n_pad_for as _npf, _pad_rows as _pr,
+                              build_sk_plans as _bsp,
+                              sk_groups as _skg,
+                              subm_key_deltas as _skd)
+
+    keys = np.asarray(keys)
+    deltas_np, _ = _skd(tuple(ksize), tuple(dilation), tuple(shape))
+    groups = _skg(tuple(ksize), include_center=True)
+    best_w, best_cost = candidates[0], float("inf")
+    for w in candidates:
+        np_t, n_pad = _npf(keys.shape[0], tile, w)
+        plans = _bsp(jnp.asarray(_pr(jnp.asarray(keys), np_t, sentinel)),
+                     sentinel, deltas_np, groups, tile=tile, window=w,
+                     n_pad=n_pad, align=128)
+        nw = np.asarray(plans[0].nw)
+        tiles = nw.shape[1]
+        extra = int(np.maximum(nw - 1, 0).sum())
+        cost = (w // _LANE) * (tiles + 4.0 * extra)
+        if cost < best_cost:
+            best_w, best_cost = w, cost
+    return int(best_w)
 
 # perf-ablation knob (tools/probe_dg_bench.py): "nosearch" replaces the
 # binary search with an iota guess, "nogather" skips the feature gather,
@@ -330,6 +372,7 @@ def _vec_divide_probes(ktS, liveS, coordS, bidxS, ptab, stride,
 def _dg_fwd_kernel(
     kv, c_sub, k_sub, R, vprobe_fn, dims, sentinel, groups, n_tiles,
     window, comp_dtype, packmode, act, have_add, add_scale, posmode,
+    offmode,
     # scalar prefetch
     ws_ref, nw_ref,
     *args,
@@ -381,7 +424,12 @@ def _dg_fwd_kernel(
     wch = window // _LANE
     gs = _round_up(kv, 8)
     G = R * gs
-    blk = c_sub * gs
+    # offmode = offset-major gbuf (rows k*c_sub + cc, no gs-pad rows):
+    # kv gathers of [cg,128] per window chunk instead of cg gathers of
+    # [G,128] — compile time AND op count scale with the gather count,
+    # so wide channels (cg > kv) flip to offset-major (probe: Mosaic
+    # compile 34.8 s at C=256 channel-major, linear in cg)
+    blk = kv * c_sub if offmode else c_sub * gs
     # gather width: packed modes ride bf16 channel PAIRS / int8 channel
     # QUADS on int32 lanes
     cg = {"pack2": c_sub // 2, "q4": c_sub // 4}.get(packmode, c_sub)
@@ -514,6 +562,56 @@ def _dg_fwd_kernel(
             stack = jnp.concatenate(
                 [pos.astype(gbuf_ref.dtype)] * rep, axis=0)
             gbuf_ref[:] = stack[:gbuf_ref.shape[0]]
+            return
+
+        if offmode:
+            # offset-major: per (r, offset) gather ALL channel groups in
+            # one [cg,128] take_along_axis (same search result, row g
+            # sliced and broadcast across the channel sublanes)
+            def feat_block(p, j):
+                if wi is None:
+                    return wf_ref[buf, p, j]
+                return wf1_ref[j]
+
+            koffs = (range(plane * gp, (plane + 1) * gp)
+                     if plane is not None else range(kv))
+            for r in range(R):
+                for kk in koffs:
+                    g = r * gs + kk
+                    p = kk // gp
+                    posr = pos[g:g + 1]
+                    fr = found[g:g + 1]
+                    acc = None
+                    for j in range(wch):
+                        within = jnp.broadcast_to(
+                            jnp.clip(posr - j * _LANE, 0, _LANE - 1),
+                            (cg, _LANE))
+                        gth = jnp.take_along_axis(feat_block(p, j),
+                                                  within, axis=1)
+                        gth = jnp.where(((posr // _LANE) == j) & fr, gth,
+                                        jnp.zeros_like(gth))
+                        acc = gth if acc is None else acc + gth
+                    if packmode == "pack2":
+                        parts = _unpack_pair(acc)
+                    elif packmode == "q4":
+                        parts = _unpack_quad(acc)
+                    else:
+                        parts = [acc]
+                    block = (jnp.concatenate(parts, axis=0)
+                             if len(parts) > 1 else parts[0])
+                    vv = block.astype(gbuf_ref.dtype)
+                    dst = slice(r * blk + kk * c_sub,
+                                r * blk + (kk + 1) * c_sub)
+                    if accumulate:
+                        if gbuf_ref.dtype == jnp.int8:
+                            gbuf_ref[dst, :] = (
+                                gbuf_ref[dst, :].astype(jnp.int32)
+                                + vv.astype(jnp.int32)
+                            ).astype(jnp.int8)
+                        else:
+                            gbuf_ref[dst, :] += vv
+                    else:
+                        gbuf_ref[dst, :] = vv
             return
 
         # zero of the packed table dtype is also the packed zero, so
@@ -872,12 +970,23 @@ def _dg_conv_call(
     else:
         feat_ch = chunk_table(table_feats, n_pad, c_sub)
 
+    # offset-major gather when channel groups outnumber kernel offsets:
+    # kv gathers of [cg,128] per chunk beat cg gathers of [G,128] — and
+    # Mosaic compile time is linear in the gather-op count
+    offmode = cg > kv and not _ABLATE
+
     # C axis permuted to the packed unpack order ([even | odd]);
-    # column order (cc*gs + k) matches the kernel's gbuf blocks
+    # column order matches the kernel's gbuf blocks: (cc*gs + k)
+    # channel-major, (k*c_sub + cc) offset-major (no gs-pad rows)
     wpad = jnp.pad(weight_kv,
-                   ((0, gs - kv), (0, c_sub - c), (0, k_sub - k_ch)))
+                   ((0, 0 if offmode else gs - kv), (0, c_sub - c),
+                    (0, k_sub - k_ch)))
     wpad = wpad[:, perm_c, :]
-    wflat = jnp.transpose(wpad, (2, 1, 0)).reshape(k_sub, c_sub * gs)
+    if offmode:
+        wflat = jnp.transpose(wpad, (2, 0, 1)).reshape(k_sub, kv * c_sub)
+    else:
+        wflat = jnp.transpose(wpad, (2, 1, 0)).reshape(k_sub, c_sub * gs)
+    blk = kv * c_sub if offmode else c_sub * gs
 
     wch = window // _LANE
     P = len(groups)
@@ -895,7 +1004,7 @@ def _dg_conv_call(
         scratch = [
             pltpu.VMEM((2, P, wch, cg, _LANE), ftab_dtype),
             pltpu.VMEM((wch, cg, _LANE), ftab_dtype),
-            pltpu.VMEM((R * c_sub * gs, _LANE), comp_dtype),
+            pltpu.VMEM((R * blk, _LANE), comp_dtype),
             pltpu.SemaphoreType.DMA((2, P)),
             pltpu.SemaphoreType.DMA,
         ]
@@ -918,7 +1027,7 @@ def _dg_conv_call(
             pltpu.VMEM((2, P, wch, cg, _LANE), ftab_dtype),
             pltpu.VMEM((wch, _KROWS, _LANE), jnp.int32),
             pltpu.VMEM((wch, cg, _LANE), ftab_dtype),
-            pltpu.VMEM((R * c_sub * gs, _LANE), comp_dtype),
+            pltpu.VMEM((R * blk, _LANE), comp_dtype),
             pltpu.SemaphoreType.DMA((2, P)),
             pltpu.SemaphoreType.DMA((2, P)),
             pltpu.SemaphoreType.DMA,
@@ -939,7 +1048,7 @@ def _dg_conv_call(
         _dg_fwd_kernel, kv, c_sub, k_sub, R, vprobe_builder,
         tuple(decode_dims), sentinel_tile, groups, n_tiles, window,
         comp_dtype, "pack2" if packed else "f32", "none", False, 0.0,
-        posmode,
+        posmode, offmode,
     )
     out = pl.pallas_call(
         kernel,
@@ -974,13 +1083,19 @@ def _dg_conv_call_q(
     cq = quad_count(c)
     c_sub = 4 * cq
     perm_c = quad_perm(cq)
+    offmode = cq > kv and not _ABLATE
+    blk = kv * c_sub if offmode else c_sub * gs
 
     feat_ch = chunk_table_packed4(table_feats_i8, n_pad, cq)
 
     wpad = jnp.pad(weight_kv_i8,
-                   ((0, gs - kv), (0, c_sub - c), (0, k_sub - k_ch)))
+                   ((0, 0 if offmode else gs - kv), (0, c_sub - c),
+                    (0, k_sub - k_ch)))
     wpad = wpad[:, perm_c, :]
-    wflat = jnp.transpose(wpad, (2, 1, 0)).reshape(k_sub, c_sub * gs)
+    if offmode:
+        wflat = jnp.transpose(wpad, (2, 0, 1)).reshape(k_sub, kv * c_sub)
+    else:
+        wflat = jnp.transpose(wpad, (2, 1, 0)).reshape(k_sub, c_sub * gs)
 
     scale_p = jnp.pad(jnp.asarray(scale, jnp.float32), (0, k_sub - k_ch))
     bias_p = (jnp.pad(jnp.asarray(bias, jnp.float32), (0, k_sub - k_ch))
@@ -1045,7 +1160,7 @@ def _dg_conv_call_q(
             [
                 pltpu.VMEM((2, P, wch, cq, _LANE), jnp.int32),
                 pltpu.VMEM((wch, cq, _LANE), jnp.int32),
-                pltpu.VMEM((R * c_sub * gs, _LANE), jnp.int8),
+                pltpu.VMEM((R * blk, _LANE), jnp.int8),
                 pltpu.SemaphoreType.DMA((2, P)),
                 pltpu.SemaphoreType.DMA,
             ] if posmode else [
@@ -1053,7 +1168,7 @@ def _dg_conv_call_q(
                 pltpu.VMEM((2, P, wch, cq, _LANE), jnp.int32),
                 pltpu.VMEM((wch, _KROWS, _LANE), jnp.int32),
                 pltpu.VMEM((wch, cq, _LANE), jnp.int32),
-                pltpu.VMEM((R * c_sub * gs, _LANE), jnp.int8),
+                pltpu.VMEM((R * blk, _LANE), jnp.int8),
                 pltpu.SemaphoreType.DMA((2, P)),
                 pltpu.SemaphoreType.DMA((2, P)),
                 pltpu.SemaphoreType.DMA,
@@ -1065,6 +1180,7 @@ def _dg_conv_call_q(
         _dg_fwd_kernel, kv, c_sub, k_sub, R, vprobe_builder,
         tuple(decode_dims), sentinel_tile, groups, n_tiles, window,
         jnp.int8, "q4", act, have_add, float(add_scale), posmode,
+        offmode,
     )
     out = pl.pallas_call(
         kernel,

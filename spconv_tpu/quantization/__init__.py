@@ -10,4 +10,5 @@ from .quantize import (
     convert_to_int8,
 )
 from .fuse import fuse_bn_weights, fuse_conv_bn, fuse_bn_act_in_sequential
-from .encoder import QuantizedSparseEncoder, quantize_encoder
+from .encoder import (QuantizedSparseEncoder, observe_encoder_scales,
+                      quantize_encoder)

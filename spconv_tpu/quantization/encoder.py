@@ -15,7 +15,7 @@ int8 kernels on TPU)."""
 
 from __future__ import annotations
 
-from typing import List
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -30,7 +30,8 @@ from .quantize import (
     SparseConvAddReLU, quantize_tensor,
 )
 
-__all__ = ["QuantizedSparseEncoder", "quantize_encoder"]
+__all__ = ["QuantizedSparseEncoder", "quantize_encoder",
+           "observe_encoder_scales"]
 
 
 def _fused_conv(conv, bn):
@@ -86,19 +87,11 @@ class QuantizedSparseEncoder(Module):
         return dense.reshape(b, c * d, h, w)
 
 
-def quantize_encoder(enc: SparseEncoder,
-                     calib_inputs: List[SparseConvTensor]
-                     ) -> QuantizedSparseEncoder:
-    """Calibrate + convert a ``SparseEncoder`` to int8.
-
-    Runs the fp encoder on ``calib_inputs`` recording min/max at every
-    layer boundary (BN folded first when present), then rebuilds with
-    quantized layers.  Residual blocks convert to conv1(+relu) +
-    residual-fused conv2 (reference pattern: conv+bn+add+relu →
-    ``SparseConvAddReLU``)."""
+def _fuse_encoder(enc: SparseEncoder):
+    """Fold BN into convs, returning (conv_in, downs, stages_f, conv_out)
+    with stages_f = [[(conv1, conv2), ...] per stage]."""
     conv_in = _fused_conv(enc.conv_input, enc.bn_input)
     downs = []
-    prev = None  # filled per stage below
     stages_f = []
     for si, blocks in enumerate(enc.stages):
         if si > 0:
@@ -111,8 +104,22 @@ def quantize_encoder(enc: SparseEncoder,
             ))
         stages_f.append(fb)
     conv_out = _fused_conv(enc.conv_out, enc.bn_out)
+    return conv_in, downs, stages_f, conv_out
 
-    # --- observation pass (mirrors SparseEncoder.__call__) -------------
+
+def observe_encoder_scales(enc: SparseEncoder,
+                           calib_inputs: List[SparseConvTensor]) -> dict:
+    """Calibration observation pass: run the (BN-folded) fp encoder on
+    the calibration scans recording min/max at every layer boundary.
+
+    Returns a plain-JSON dict of activation scales — the serializable
+    calibration artifact.  The pass executes eagerly (per-op dispatch),
+    so deployments cache its output on disk and feed it back to
+    :func:`quantize_encoder` via ``scales=`` (parity: the reference
+    ships TensorRT calibration tables the same way,
+    ``docs/TENSORRT_INT8_GUIDE.md``)."""
+    conv_in, downs, stages_f, conv_out = _fuse_encoder(enc)
+
     obs_in = MinMaxObserver()
     obs_cin = MinMaxObserver()
     obs_down = [MinMaxObserver() for _ in downs]
@@ -144,16 +151,54 @@ def quantize_encoder(enc: SparseEncoder,
         cur = relu_t(conv_out(cur))
         obs_out.observe(cur)
 
-    # --- conversion -----------------------------------------------------
+    return {
+        "in": float(obs_in.scale),
+        "cin": float(obs_cin.scale),
+        "down": [float(o.scale) for o in obs_down],
+        "blocks": [[[float(o1.scale), float(o2.scale)] for o1, o2 in ob]
+                   for ob in obs_blocks],
+        "out": float(obs_out.scale),
+    }
+
+
+class _FixedScale:
+    """Observer stand-in carrying a pre-computed scale."""
+
+    def __init__(self, scale: float):
+        self.scale = float(scale)
+
+
+def quantize_encoder(enc: SparseEncoder,
+                     calib_inputs: Optional[List[SparseConvTensor]] = None,
+                     scales: Optional[dict] = None
+                     ) -> QuantizedSparseEncoder:
+    """Calibrate + convert a ``SparseEncoder`` to int8.
+
+    Either runs the observation pass on ``calib_inputs``
+    (:func:`observe_encoder_scales`) or consumes a cached ``scales``
+    dict, then rebuilds with quantized layers.  Residual blocks convert
+    to conv1(+relu) + residual-fused conv2 (reference pattern:
+    conv+bn+add+relu → ``SparseConvAddReLU``)."""
+    if scales is None:
+        assert calib_inputs is not None, \
+            "quantize_encoder needs calib_inputs or cached scales"
+        scales = observe_encoder_scales(enc, calib_inputs)
+    conv_in, downs, stages_f, conv_out = _fuse_encoder(enc)
+
+    obs_in = _FixedScale(scales["in"])
+    obs_cin = _FixedScale(scales["cin"])
+    obs_down = [_FixedScale(s) for s in scales["down"]]
+    obs_blocks = [[( _FixedScale(s1), _FixedScale(s2))
+                   for s1, s2 in ob] for ob in scales["blocks"]]
+    obs_out = _FixedScale(scales["out"])
+
     layers: List[Module] = []
     layers.append(_qconv(conv_in, obs_in, obs_cin))
     prev = obs_cin
-    di = 0
     for si, fb in enumerate(stages_f):
         if si > 0:
             layers.append(_qconv(downs[si - 1], prev, obs_down[si - 1]))
             prev = obs_down[si - 1]
-            di += 1
         for bi, (c1, c2) in enumerate(fb):
             o1, o2 = obs_blocks[si][bi]
             q1 = _qconv(c1, prev, o1)

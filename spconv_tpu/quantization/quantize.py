@@ -199,13 +199,26 @@ class QuantizedSparseConv(Module):
                     _SK._pad_rows(keys, np_t, sent_i), sent_i,
                     deltas_np, groups, tile=128 * rows, window=window,
                     n_pad=n_pad, align=128)
+                if rows > 1:
+                    # a trainable fp layer sharing this indice_key reads
+                    # plans[1] at tile=128 for its backward — mirror the
+                    # conv.py rows>1 rebuild so the cached record is safe
+                    # for both consumers (ADVICE r3)
+                    np_t1, n_pad1 = _SK._n_pad_for(keys.shape[0], 128,
+                                                   window)
+                    _, plan_bwd = _SK.build_sk_plans(
+                        _SK._pad_rows(keys, np_t1, sent_i), sent_i,
+                        deltas_np, groups, tile=128, window=window,
+                        n_pad=n_pad1, align=128)
+                    plans = (plans[0], plan_bwd)
                 if ck:
                     pos = build_dg_pos(
                         keys, plans[0], ksize=cfg.kernel_size,
                         dilation=cfg.dilation,
                         spatial_shape=spatial_shape,
                         batch_size=x.batch_size, window=window,
-                        rows=rows)
+                        rows=rows,
+                        interpret=jax.default_backend() == "cpu")
                     new_rec = DGData(
                         keys, plans, ksize=cfg.kernel_size,
                         dilation=cfg.dilation,

@@ -102,19 +102,27 @@ class ConvTuner:
     def select_algo(self, *, subm: bool, sk_supported: bool, n: int,
                     c: int, k: int, kv: int, dtype: str,
                     backend: Optional[str] = None,
-                    dg_supported: bool = False) -> str:
+                    dg_supported: bool = False,
+                    training: bool = False) -> str:
         """Resolve ``algo=None``/"auto" to a concrete algorithm.
 
         The reference auto-picks MaskImplicitGemm for kv<=32 and Native
-        otherwise (``conv.py:110-125``).  Here: the dynamic-gather (DG)
-        search+gather kernel when the input is statically key-sorted
-        (beats the one-hot SK kernel at every measured width — gather
-        cost scales with C, not the 128-lane pad); the SK kernel when
-        only dynamic-fallback routing is possible; the chunked
-        gather+einsum path otherwise.  A cached tuned winner, when
-        present, overrides the heuristic."""
+        otherwise (``conv.py:110-125``), and its tuner caches winners
+        per op type — kForward / kBackwardInput / kBackwardWeight
+        (``convops.py:1283-1301``).  The JAX analog of per-op-type is
+        the ``training`` axis: one winner for forward-only dispatch,
+        another for the differentiated (fwd+bwd) call.
+
+        Heuristics (measured on v5e, 125k-voxel scan — DESIGN_NOTES):
+        * inference: the dynamic-gather (DG) kernel wins at every width
+          (gather cost scales with C, not the 128-lane pad).
+        * training: DG still wins at narrow channels, but its backward
+          (separate dgrad gather + wgrad) loses to the SK fused
+          dgrad+wgrad at C≥~48 (C=64: DG fwd+bwd 11.9 ms vs SK ~9.2).
+        A cached tuned winner, when present, overrides the heuristic."""
         self._load()
-        kk = self.key("algo", self.bucket_n(n), c, k, kv, dtype)
+        op = "algo_train" if training else "algo"
+        kk = self.key(op, self.bucket_n(n), c, k, kv, dtype)
         cached = self._cache.get(kk)
         if cached and "algo" in cached:
             algo = cached["algo"]
@@ -125,6 +133,9 @@ class ConvTuner:
 
         backend = backend or jax.default_backend()
         if backend != "cpu":
+            if (training and sk_supported and min(c, k) >= 48
+                    and dtype in ("bfloat16", "float16")):
+                return "sk"
             if dg_supported and dtype in ("bfloat16", "float16",
                                           "float32"):
                 return "dg"
@@ -133,22 +144,49 @@ class ConvTuner:
         return "native"
 
     def cache_algo(self, *, n: int, c: int, k: int, kv: int, dtype: str,
-                   algo: str, ms: Optional[float] = None):
+                   algo: str, ms: Optional[float] = None,
+                   training: bool = False):
         """Record a measured winner for :meth:`select_algo`."""
         self._load()
         rec = {"algo": algo, "source": "tuned"}
         if ms is not None:
             rec["ms"] = ms
-        self._cache[self.key("algo", self.bucket_n(n), c, k, kv,
+        op = "algo_train" if training else "algo"
+        self._cache[self.key(op, self.bucket_n(n), c, k, kv,
                              dtype)] = rec
         self._save()
 
     def has_algo(self, *, n: int, c: int, k: int, kv: int,
-                 dtype: str) -> bool:
+                 dtype: str, training: bool = False) -> bool:
         self._load()
-        rec = self._cache.get(self.key("algo", self.bucket_n(n), c, k,
+        op = "algo_train" if training else "algo"
+        rec = self._cache.get(self.key(op, self.bucket_n(n), c, k,
                                        kv, dtype))
         return bool(rec and "algo" in rec)
+
+    # -- window geometry (DG/SK sorted-key kernels) ---------------------
+    @staticmethod
+    def window_key(*, n: int, kv: int, shape, batch: int,
+                   tile: int = 128) -> str:
+        ss = "x".join(str(int(s)) for s in shape)
+        return (f"dgwin|n{ConvTuner.bucket_n(n)}|kv{kv}|s{ss}|b{batch}"
+                f"|t{tile}")
+
+    def get_dg_window(self, *, n: int, kv: int, shape, batch: int,
+                      tile: int = 128) -> Optional[int]:
+        """Cached tuned window size for this geometry, else None."""
+        self._load()
+        rec = self._cache.get(self.window_key(n=n, kv=kv, shape=shape,
+                                              batch=batch, tile=tile))
+        return int(rec["window"]) if rec and "window" in rec else None
+
+    def cache_dg_window(self, *, n: int, kv: int, shape, batch: int,
+                        window: int, tile: int = 128):
+        self._load()
+        self._cache[self.window_key(n=n, kv=kv, shape=shape, batch=batch,
+                                    tile=tile)] = {
+            "window": int(window), "source": "tuned"}
+        self._save()
 
     @property
     def tune_enabled(self) -> bool:
@@ -161,13 +199,20 @@ class ConvTuner:
             os.environ.get("SPCONV_TPU_TUNE", "0") == "1")
 
     def tune_conv_algo(self, module, input, candidates, *, n, c, k, kv,
-                       dtype, timer=None) -> str:
+                       dtype, timer=None, training: bool = False) -> str:
         """Measure each candidate algo of ``module`` on the LIVE input
-        tensor, cache and return the winner.  ``timer`` overrides the
-        device measurement (tests)."""
+        tensor, cache and return the winner.  Training keys measure the
+        full differentiated call (value_and_grad wrt features AND
+        weight — the reference tunes kBackwardInput and kBackwardWeight
+        separately, ``convops.py:1283-1301``; in JAX one algo serves the
+        whole fwd+bwd, so the combined time is what must win).
+        ``timer`` overrides the device measurement (tests)."""
         from .tools import benchmark_model
 
         import copy
+
+        import jax
+        import jax.numpy as jnp
 
         results = {}
         for a in candidates:
@@ -176,6 +221,27 @@ class ConvTuner:
             try:
                 if timer is not None:
                     results[a] = timer(a)
+                elif training:
+                    def step(f, w, m=m):
+                        m2 = copy.copy(m)
+                        m2.weight = w
+
+                        def loss(fw):
+                            f_, w_ = fw
+                            m3 = copy.copy(m2)
+                            m3.weight = w_
+                            out = m3(input.replace_feature(f_),
+                                     training=True)
+                            return jnp.sum(
+                                out.features.astype(jnp.float32) ** 2)
+
+                        l, g = jax.value_and_grad(loss)((f, w))
+                        return l + sum(
+                            jnp.sum(gi.astype(jnp.float32)) for gi in g)
+
+                    results[a] = benchmark_model(
+                        step, (input.features, m.weight), rep=4,
+                        n_outer=2)
                 else:
                     results[a] = benchmark_model(
                         lambda f, m=m: m(input.replace_feature(f)).features,
@@ -184,7 +250,7 @@ class ConvTuner:
                 results[a] = float("inf")
         winner = min(results, key=results.get)
         self.cache_algo(n=n, c=c, k=k, kv=kv, dtype=dtype, algo=winner,
-                        ms=results[winner])
+                        ms=results[winner], training=training)
         return winner
 
     def tune_conv_chunk(self, features, weight_kv, pair_fwd, subm_center,

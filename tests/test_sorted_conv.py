@@ -771,3 +771,132 @@ def test_dg_pos_module_cache_reuse(rng):
     np.testing.assert_allclose(
         np.asarray(out.features), np.asarray(ref.features),
         rtol=5e-5, atol=5e-5)
+
+
+def test_dg_offmode_f32_matches_native(rng):
+    """Offset-major gather mode (cg > kv → per-offset [cg,128] gathers,
+    offset-major gbuf, no gs-pad GEMM rows) — f32 at C=32 triggers it;
+    exact vs the native gather path."""
+    from spconv_tpu.ops.pallas.dg_conv import dg_subm_conv
+
+    shape = (9, 15, 15)
+    c, k_out = 32, 16
+    feats, inds = _sorted_input(rng, shape, 300, c, 512)
+    keys, sent = _keys_of(inds, shape, 1)
+    w = jnp.asarray(rng.randn(k_out, 3, 3, 3, c).astype(np.float32) * .1)
+
+    out = dg_subm_conv(feats, keys, w, spatial_shape=shape, batch_size=1,
+                       dilation=(1, 1, 1), interpret=True)
+    data = build_subm_rulebook(inds, spatial_shape=shape, batch_size=1,
+                               ksize=(3, 3, 3), dilation=(1, 1, 1))
+    ref = indice_conv(feats, w, data.pair_fwd, data.pair_bwd,
+                      is_subm=True)
+    valid = np.asarray(inds[:, 0] >= 0)
+    np.testing.assert_allclose(np.asarray(out)[valid],
+                               np.asarray(ref)[valid], rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_dg_offmode_bf16_pack2(rng):
+    """Offset-major mode with bf16 pair packing (C=64 → cg=32 > kv=27),
+    including the multi-window sweep accumulate path (tiny window)."""
+    from spconv_tpu.ops.pallas import sorted_conv as SK
+    from spconv_tpu.ops.pallas.dg_conv import dg_subm_conv
+
+    shape = (6, 17, 23)
+    c, k_out = 64, 16
+    feats, inds = _sorted_input(rng, shape, 900, c, 1024)
+    keys, sent = _keys_of(inds, shape, 1)
+    fbf = feats.astype(jnp.bfloat16)
+    w = jnp.asarray(rng.randn(k_out, 3, 3, 3, c).astype(np.float32) * .1
+                    ).astype(jnp.bfloat16)
+
+    W = 128  # far below the per-tile reach → nw > 1 on many tiles
+    deltas_np, _ = SK.subm_key_deltas((3, 3, 3), (1, 1, 1), shape)
+    groups = SK.sk_groups((3, 3, 3), include_center=True)
+    np_t, n_pad = SK._n_pad_for(keys.shape[0], 128, W)
+    plans = SK.build_sk_plans(
+        SK._pad_rows(keys, np_t, sent), sent, deltas_np, groups,
+        tile=128, window=W, n_pad=n_pad, align=128)
+    assert int(np.max(np.asarray(plans[0].nw))) > 1  # sweeps exercised
+
+    out = dg_subm_conv(fbf, keys, w, spatial_shape=shape, batch_size=1,
+                       dilation=(1, 1, 1), window=W, plans=plans,
+                       interpret=True)
+    data = build_subm_rulebook(inds, spatial_shape=shape, batch_size=1,
+                               ksize=(3, 3, 3), dilation=(1, 1, 1))
+    ref = indice_conv(fbf, w, data.pair_fwd, data.pair_bwd,
+                      is_subm=True)
+    valid = np.asarray(inds[:, 0] >= 0)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32)[valid],
+        np.asarray(ref, np.float32)[valid], rtol=2e-2, atol=2e-2)
+
+
+def test_dg_offmode_int8_q4(rng):
+    """Offset-major mode with int8 quad packing (C=128 → cq=32 > kv=27)
+    — bit-exact vs the int32 gather reference."""
+    from spconv_tpu.ops.pallas.dg_conv import dg_subm_conv_q
+    from spconv_tpu.quantization.quantize import _int8_gather_mm
+
+    shape = (9, 15, 15)
+    c, k_out = 128, 16
+    feats, inds = _sorted_input(rng, shape, 300, c, 512)
+    keys, sent = _keys_of(inds, shape, 1)
+    fi8 = jnp.asarray(rng.randint(-90, 90, feats.shape), jnp.int8)
+    fi8 = jnp.where(inds[:, :1] >= 0, fi8, 0)
+    wi8 = jnp.asarray(rng.randint(-60, 60, (k_out, 3, 3, 3, c)), jnp.int8)
+    scale = jnp.asarray(rng.uniform(0.001, 0.01, (k_out,)), jnp.float32)
+
+    out = dg_subm_conv_q(
+        fi8, keys, wi8, scale, None, spatial_shape=shape, batch_size=1,
+        dilation=(1, 1, 1), act="relu", out_dtype=jnp.int8,
+        interpret=True)
+    data = build_subm_rulebook(inds, spatial_shape=shape, batch_size=1,
+                               ksize=(3, 3, 3), dilation=(1, 1, 1))
+    wkv = jnp.transpose(wi8.reshape(k_out, 27, c), (1, 2, 0))
+    acc = _int8_gather_mm(fi8, wkv, data.pair_fwd, 13)
+    y = jnp.maximum(acc.astype(jnp.float32) * scale[None, :], 0.0)
+    ref = jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
+    valid = np.asarray(inds[:, 0] >= 0)
+    np.testing.assert_array_equal(np.asarray(out)[valid],
+                                  np.asarray(ref)[valid])
+
+
+def test_dg_int8_posmode(rng):
+    """int8 DG conv through the cached-match-rows (posmode) path, with
+    and without the fused residual add — bit-identical to the searching
+    int8 kernel (ADVICE r3: posmode int8 was untested)."""
+    from spconv_tpu.ops.pallas import sorted_conv as SK
+    from spconv_tpu.ops.pallas.dg_conv import build_dg_pos, dg_subm_conv_q
+
+    shape = (9, 13, 15)
+    c = k_out = 16
+    feats, inds = _sorted_input(rng, shape, 350, c, 512)
+    keys, sent = _keys_of(inds, shape, 1)
+    fi8 = jnp.asarray(rng.randint(-90, 90, feats.shape), jnp.int8)
+    fi8 = jnp.where(inds[:, :1] >= 0, fi8, 0)
+    wi8 = jnp.asarray(rng.randint(-60, 60, (k_out, 3, 3, 3, c)), jnp.int8)
+    scale = jnp.asarray(rng.uniform(0.001, 0.01, (k_out,)), jnp.float32)
+    add8 = jnp.asarray(rng.randint(-90, 90, (feats.shape[0], k_out)),
+                       jnp.int8)
+
+    W = 384
+    deltas_np, _ = SK.subm_key_deltas((3, 3, 3), (1, 1, 1), shape)
+    groups = SK.sk_groups((3, 3, 3), include_center=True)
+    np_t, n_pad = SK._n_pad_for(keys.shape[0], 128, W)
+    plans = SK.build_sk_plans(
+        SK._pad_rows(keys, np_t, sent), sent, deltas_np, groups,
+        tile=128, window=W, n_pad=n_pad, align=128)
+    pos = build_dg_pos(keys, plans[0], ksize=(3, 3, 3),
+                       dilation=(1, 1, 1), spatial_shape=shape,
+                       batch_size=1, window=W, interpret=True)
+
+    for add in (None, add8):
+        kw = dict(spatial_shape=shape, batch_size=1, dilation=(1, 1, 1),
+                  act="relu", out_dtype=jnp.int8, window=W, plans=plans,
+                  add_features=add, add_scale=0.5, interpret=True)
+        out_p = dg_subm_conv_q(fi8, keys, wi8, scale, None, pos=pos, **kw)
+        out_r = dg_subm_conv_q(fi8, keys, wi8, scale, None, **kw)
+        np.testing.assert_array_equal(np.asarray(out_p),
+                                      np.asarray(out_r))

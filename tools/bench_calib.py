@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Generate the bench's calibration artifacts on the CPU backend and
+write them to ``.bench_calib.json`` at the repo root.
+
+The calibration passes (deployment buffer sizing + int8 activation
+scales) execute eagerly — one XLA dispatch per op.  Through the TPU
+tunnel each dispatch costs ~40 ms, so a full-encoder eager pass takes
+minutes; on the local CPU backend it takes seconds.  bench.py loads the
+cached artifacts and never eager-calibrates on the device (parity: the
+reference ships TensorRT calibration tables + recorded max_num_voxels
+buffers the same way, docs/TENSORRT_INT8_GUIDE.md).
+
+Run: JAX_PLATFORMS=cpu python tools/bench_calib.py
+(bench.py shells out to this automatically when the cache is missing)
+"""
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: eager calibration must run
+# at local CPU speed, never through a device tunnel
+
+REPO = Path(__file__).resolve().parent.parent
+# window-geometry winners land in the repo-local tuner cache that
+# bench.py reads (choose_dg_window is static plan analysis, so CPU-run
+# results are valid for the TPU)
+os.environ["SPCONV_TPU_TUNE_CACHE"] = str(REPO / ".tune_cache")
+
+sys.path.insert(0, str(REPO))
+
+import jax  # noqa: E402
+
+# the env var alone can be overridden by device-plugin site config —
+# the config update is authoritative
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+
+OUT = REPO / ".bench_calib.json"
+
+
+def cp_section(batch):
+    from spconv_tpu.benchmark.centerpoint import (
+        build_calibrated_encoder, load_centerpoint_input)
+    from spconv_tpu.calibrate import export_out_bounds
+
+    x, nv = load_centerpoint_input(dtype=jnp.float32, batch=batch)
+    t0 = time.time()
+    net = build_calibrated_encoder(x, dtype=jnp.float32)
+    print(f"[calib] cp batch={batch}: {nv} voxels, "
+          f"{time.time() - t0:.1f}s", flush=True)
+    bounds = export_out_bounds(net)
+    # second eager pass WITH the calibrated bounds applied: the
+    # window-geometry tuner keys on the actual buffer sizes the bench
+    # will trace with
+    t0 = time.time()
+    net2 = build_calibrated_encoder(x, dtype=jnp.float32, bounds=bounds)
+    net2.bev(x)
+    print(f"[calib] cp batch={batch} window-tune pass: "
+          f"{time.time() - t0:.1f}s", flush=True)
+    return bounds
+
+
+def bench_net_section(large):
+    """Eager BenchNet pass (pool bounds applied) — tunes the sorted-key
+    window geometry for every subm stage of the basic/large nets."""
+    from spconv_tpu.benchmark.basic import (
+        BenchNet, load_basic_data, load_large_data, make_bench_input,
+        measure_pool_bounds)
+
+    tag = "large" if large else "basic"
+    if large:
+        voxels, coors, spatial_shape = load_large_data()
+    else:
+        voxels, coors, spatial_shape = load_basic_data()
+    x = make_bench_input(voxels, coors, spatial_shape,
+                         dtype=jnp.float32)
+    bounds_file = REPO / (".bench_pool_bounds_large.json" if large
+                          else ".bench_pool_bounds.json")
+    if bounds_file.exists():
+        pool_bounds = json.loads(bounds_file.read_text())
+    else:
+        pool_bounds = measure_pool_bounds(spatial_shape, x)
+        bounds_file.write_text(json.dumps(pool_bounds))
+    t0 = time.time()
+    net = BenchNet(spatial_shape, dtype=jnp.float32,
+                   pool_bounds=pool_bounds)
+    net(x)
+    print(f"[calib] {tag} window-tune pass: {time.time() - t0:.1f}s",
+          flush=True)
+
+
+def cpq_section():
+    from spconv_tpu.benchmark.centerpoint import load_centerpoint_input
+    from spconv_tpu.calibrate import calibrate_out_bounds, export_out_bounds
+    from spconv_tpu.models import centerpoint_encoder
+    from spconv_tpu.quantization import observe_encoder_scales
+
+    x, nv = load_centerpoint_input(dtype=jnp.float32)
+    net32 = centerpoint_encoder(in_channels=5, bn=False, dtype=jnp.float32)
+    t0 = time.time()
+    net32 = calibrate_out_bounds(net32, lambda m, t: m.bev(t), [x],
+                                 margin=1.15, mult=512)
+    bounds = export_out_bounds(net32)
+    print(f"[calib] cpq bounds: {time.time() - t0:.1f}s", flush=True)
+    t0 = time.time()
+    scales = observe_encoder_scales(net32, [x])
+    print(f"[calib] cpq scales: {time.time() - t0:.1f}s", flush=True)
+    return bounds, scales
+
+
+def main():
+    art = {}
+    if OUT.exists():
+        try:
+            art = json.loads(OUT.read_text())
+        except Exception:
+            art = {}
+    only = sys.argv[1] if len(sys.argv) > 1 else None
+    if only in (None, "cp"):
+        art["cp_bounds_b1"] = cp_section(1)
+        art["cp_bounds_b4"] = cp_section(4)
+        OUT.write_text(json.dumps(art))
+    if only in (None, "cpq"):
+        b, s = cpq_section()
+        art["cpq_bounds"] = b
+        art["cpq_scales"] = s
+        OUT.write_text(json.dumps(art))
+    if only in (None, "basic"):
+        bench_net_section(False)
+    if only in (None, "large"):
+        bench_net_section(True)
+    print(f"[calib] wrote {OUT}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -4,6 +4,7 @@ Steady-state comparison: plans AND pos cached per indice_key (this is
 what repeated subm layers in a stage pay).  In-jit chained-repetition
 timing (external loops mis-measure through the tunnel)."""
 
+import os
 import pickle
 import sys
 import time
@@ -38,19 +39,20 @@ DO_BWD = "--no-bwd" not in sys.argv
 
 
 def load_scan(large=False):
-    voxels, coors, spatial_shape = pickle.load(
-        open('/root/reference/test/data/test_spconv.pkl', 'rb'))
-    ss = tuple(int(s) for s in spatial_shape)
+    scan_path = os.environ.get(
+        "SPCONV_BENCH_SCAN", "/root/reference/test/data/test_spconv.pkl")
     if large:
-        # replicate 8x with batch offsets (mirrors benchmark/core.py)
-        reps = []
-        for b in range(8):
-            cc = coors.copy()
-            cc[:, 0] = b
-            reps.append(cc)
-        coors = np.concatenate(reps)
-        batch = 8
+        # the REAL 900k bench_large voxelization (8 shifted copies in
+        # ONE batch — locally denser, which is what drives window
+        # sweeps; batch-replication would not reproduce it)
+        from spconv_tpu.benchmark.basic import load_large_data
+
+        _voxels, coors, spatial_shape = load_large_data()
+        ss = tuple(int(s) for s in spatial_shape)
+        batch = 1
     else:
+        voxels, coors, spatial_shape = pickle.load(open(scan_path, "rb"))
+        ss = tuple(int(s) for s in spatial_shape)
         batch = 1
     key = coors[:, 0].astype(np.int64)
     for a, s in enumerate(ss):
@@ -88,7 +90,7 @@ def main():
     deltas_np, _disp = subm_key_deltas((3, 3, 3), (1, 1, 1), ss)
     groups = sk_groups((3, 3, 3), include_center=True)
     sent = int(np.prod(ss)) * batch
-    W = 384
+    W = int(os.environ.get("SPCONV_PROBE_WINDOW", "384"))
     np_t, n_pad = _n_pad_for(inds.shape[0], 128, W)
     plans = jax.jit(lambda kk: build_sk_plans(
         _pad_rows(kk, np_t, sent), sent, deltas_np, groups,
