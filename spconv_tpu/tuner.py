@@ -113,12 +113,14 @@ class ConvTuner:
         the ``training`` axis: one winner for forward-only dispatch,
         another for the differentiated (fwd+bwd) call.
 
-        Heuristics (measured on v5e, 125k-voxel scan — DESIGN_NOTES):
-        * inference: the dynamic-gather (DG) kernel wins at every width
-          (gather cost scales with C, not the 128-lane pad).
-        * training: DG still wins at narrow channels, but its backward
-          (separate dgrad gather + wgrad) loses to the SK fused
-          dgrad+wgrad at C≥~48 (C=64: DG fwd+bwd 11.9 ms vs SK ~9.2).
+        Heuristics (measured on v5e, 125k-voxel scan, round-4 offmode
+        kernels — DESIGN_NOTES r4 table):
+        * inference: the DG kernel wins at every width (fwd ms at
+          C=16/64/128/256: DG 3.6/4.6/6.0/9.7 vs SK 6.3/6.1/6.1/9.1;
+          posmode lowers DG further).
+        * training: DG wins up to C=64 (fwd+bwd 7.8/10.2 vs SK
+          11.3/11.1) but the SK fused dgrad+wgrad takes over at wide
+          channels (C=128: 11.0 vs 13.0; C=256: 19.1 vs 23.3).
         A cached tuned winner, when present, overrides the heuristic."""
         self._load()
         op = "algo_train" if training else "algo"
@@ -133,7 +135,7 @@ class ConvTuner:
 
         backend = backend or jax.default_backend()
         if backend != "cpu":
-            if (training and sk_supported and min(c, k) >= 48
+            if (training and sk_supported and min(c, k) >= 128
                     and dtype in ("bfloat16", "float16")):
                 return "sk"
             if dg_supported and dtype in ("bfloat16", "float16",

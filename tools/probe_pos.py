@@ -92,22 +92,37 @@ def main():
     sent = int(np.prod(ss)) * batch
     W = int(os.environ.get("SPCONV_PROBE_WINDOW", "384"))
     np_t, n_pad = _n_pad_for(inds.shape[0], 128, W)
+    R = int(os.environ.get("SPCONV_PROBE_ROWS", "1"))
+    np_t, n_pad = _n_pad_for(inds.shape[0], 128 * R, W)
     plans = jax.jit(lambda kk: build_sk_plans(
         _pad_rows(kk, np_t, sent), sent, deltas_np, groups,
-        tile=128, window=W, n_pad=n_pad, align=128))(keys_j)
+        tile=128 * R, window=W, n_pad=n_pad, align=128))(keys_j)
     jax.block_until_ready(plans)
-    t0 = time.perf_counter()
-    pos = jax.jit(lambda kk: build_dg_pos(
+    posf = jax.jit(lambda kk: build_dg_pos(
         kk, plans[0], ksize=(3, 3, 3), dilation=(1, 1, 1),
-        spatial_shape=ss, batch_size=batch, window=W))(keys_j)
+        spatial_shape=ss, batch_size=batch, window=W, rows=R))
+    t0 = time.perf_counter()
+    pos = posf(keys_j)
     pos.block_until_ready()
     t1 = time.perf_counter()
-    pos = jax.jit(lambda kk: build_dg_pos(
-        kk, plans[0], ksize=(3, 3, 3), dilation=(1, 1, 1),
-        spatial_shape=ss, batch_size=batch,
-        window=W))(keys_j).block_until_ready()
+
+    # device cost measured in-jit (a single dispatch through the tunnel
+    # costs ~30-40 ms and would swamp the kernel time)
+    @jax.jit
+    def pos_chain(kk):
+        def body(i, acc):
+            kk2 = kk + (acc > jnp.int32(2**30)).astype(kk.dtype)
+            p = build_dg_pos(kk2, plans[0], ksize=(3, 3, 3),
+                             dilation=(1, 1, 1), spatial_shape=ss,
+                             batch_size=batch, window=W, rows=R)
+            return acc + jnp.sum(jnp.abs(p[0, 0, :3]))
+        return jax.lax.fori_loop(0, REP, body, jnp.int32(0))
+
+    int(pos_chain(keys_j))
     t2 = time.perf_counter()
-    print(f"pos build: {(t2 - t1) * 1e3:.2f} ms "
+    int(pos_chain(keys_j))
+    t3 = time.perf_counter()
+    print(f"pos build: {(t3 - t2) / REP * 1e3:.2f} ms/iter "
           f"(compile+first {t1 - t0:.1f}s)  nw_max "
           f"{int(np.max(np.asarray(plans[0].nw)))}")
 
@@ -125,6 +140,7 @@ def main():
                     o = dg_subm_conv(
                         f, keys_j, w_, spatial_shape=ss,
                         batch_size=batch, dilation=(1, 1, 1),
+                        window=W, rows_per_tile=R,
                         plans=plans, pos=pos if use_pos else None)
                     return jnp.sum(o.astype(jnp.float32))
                 return jax.lax.fori_loop(0, REP, body, jnp.float32(0))
