@@ -88,7 +88,13 @@ def load_basic_data():
 
 def load_large_data():
     """8× replicated scan voxelized at 0.1 m (parity:
-    ``benchmark/core.py:42-60``)."""
+    ``benchmark/core.py:42-60``).  The voxelization result is cached on
+    disk: an eager PointToVoxel pass through the device tunnel costs
+    minutes of dispatch latency and the input is deterministic."""
+    cache = Path(__file__).resolve().parents[2] / ".bench_cache_large.npz"
+    if cache.exists():
+        z = np.load(str(cache))
+        return z["voxels"], z["coors"], list(z["shape"])
     pc = np.load(str(REF_DATA / "benchmark-pc.npz"))["pc"]
     pcs = [pc]
     for i in range(7):
@@ -104,6 +110,8 @@ def load_large_data():
     coords = np.asarray(coords)[:nv]
     coors = np.concatenate(
         [np.zeros((nv, 1), np.int32), coords], axis=1)
+    np.savez_compressed(str(cache), voxels=np.asarray(voxels),
+                        coors=coors, shape=np.asarray(gen.grid_size))
     return voxels, coors, list(gen.grid_size)
 
 

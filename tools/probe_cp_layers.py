@@ -2,11 +2,12 @@
 """Per-layer CenterPoint encoder timing on the real TPU chip.
 
 Fills the DESIGN_NOTES CenterPoint table with measured ms (VERDICT r3
-next #3): one eager forward captures every conv/pool layer's input
-tensor (including the indice_dict cache records, so stage layers 2+
-ride the cached-match posmode exactly as in the full net), then each
-layer is timed alone with in-jit chained repetition (external timing
-has a ~37 ms dispatch floor through the tunnel).
+next #3).  The capture pass runs inside ONE jit that returns every
+conv/pool layer's input tensor (features, indices, indice_dict cache
+records — so stage layers 2+ ride the cached-match posmode exactly as
+in the full net); an eager capture through the device tunnel costs
+~40 ms per op dispatch and never finishes.  Each layer is then timed
+alone with in-jit chained repetition.
 
 Run: python tools/probe_cp_layers.py [REP]
 """
@@ -39,18 +40,23 @@ print(f"{nv} voxels, grid {x.spatial_shape}", flush=True)
 net = build_calibrated_encoder(x, bounds=calib["cp_bounds_b1"])
 
 # ---------------------------------------------------------------------------
-# capture: record every leaf layer's input during ONE eager forward
+# capture: ONE jitted forward that returns every leaf layer's input
 # ---------------------------------------------------------------------------
-records = []  # (name, layer, input_tensor)
+names = []      # static: layer display names
+layers = []     # static: the layer modules
+meta = []       # static: (spatial_shape, batch_size, keys_sorted)
 
 
-def run_captured(net, x):
-    """Manual unrolled forward mirroring SparseEncoder.__call__, with
-    per-layer capture."""
-    t = x
+def run_captured(net, t, dynamic):
+    """Manual unrolled forward mirroring SparseEncoder.__call__; appends
+    each layer's dynamic input (features, indices, indice_dict) to
+    ``dynamic`` and its static context to the module-level lists."""
 
     def step(name, layer, t, **kw):
-        records.append((name, layer, t))
+        names.append(name)
+        layers.append(layer)
+        meta.append((t.spatial_shape, t.batch_size, t.keys_sorted))
+        dynamic.append((t.features, t.indices, dict(t.indice_dict)))
         return layer(t, **kw)
 
     t = step("conv_input C5->16", net.conv_input, t)
@@ -72,11 +78,22 @@ def run_captured(net, x):
     return t
 
 
+# net is closed over (NOT a jit argument): the captured layer modules
+# must be concrete, not tracers, for the later per-layer timing jits
+@jax.jit
+def capture(feats, inds):
+    dynamic = []
+    t = spconv_tpu.SparseConvTensor(feats, inds, x.spatial_shape,
+                                    x.batch_size, keys_sorted=True)
+    out = run_captured(net, t, dynamic)
+    return dynamic, out.features
+
+
 t0 = time.time()
-out = run_captured(net, x)
-out.features.block_until_ready()
-print(f"eager capture pass: {time.time() - t0:.1f}s, "
-      f"{len(records)} layers", flush=True)
+dynamic, _outf = capture(x.features, x.indices)
+jax.block_until_ready(dynamic)
+print(f"capture pass (jitted): {time.time() - t0:.1f}s, "
+      f"{len(names)} layers", flush=True)
 
 # ---------------------------------------------------------------------------
 # timing: per layer, REP chained reps inside one jit
@@ -91,11 +108,8 @@ print(f"sync floor {floor_ms:.1f} ms", flush=True)
 
 rows_out = []
 total = 0.0
-for name, layer, inp in records:
-    feats, inds = inp.features, inp.indices
-    shape, bs = inp.spatial_shape, inp.batch_size
-    idict = inp.indice_dict
-    ks = inp.keys_sorted
+for name, layer, (shape, bs, ks), (feats, inds, idict) in zip(
+        names, layers, meta, dynamic):
 
     @jax.jit
     def rep_fn(m, f0, i0, idict_, shape=shape, bs=bs, ks=ks):
