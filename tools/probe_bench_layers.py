@@ -97,10 +97,14 @@ for _ in range(5):
 floor_ms = (time.time() - t0) / 5 * 1000
 print(f"sync floor {floor_ms:.1f} ms", flush=True)
 
+only = sys.argv[4].split(",") if len(sys.argv) > 4 else None
+
 rows_out = []
 total = 0.0
 for name, layer, (shape, bs, ks), (feats, inds, idict) in zip(
         names, layers, meta, dynamic):
+    if only and not any(name.startswith(o) for o in only):
+        continue
     is_conv = hasattr(layer, "weight")
 
     if training and is_conv:
