@@ -218,9 +218,6 @@ class SparseConvolution(Module):
             out.features = out_feat
             return out
 
-        if self.subm:
-            self._maybe_tune_dg_window(input)
-
         algo = self.algo
         if algo == "auto":
             from ..tuner import CONV_TUNER
@@ -550,38 +547,6 @@ class SparseConvolution(Module):
 
         return CONV_TUNER.get_dg_window(**self._dg_window_sig(input, rows))
 
-    def _maybe_tune_dg_window(self, input: SparseConvTensor) -> None:
-        """Window-geometry tuning for the sorted-key kernels: on any
-        EAGER call (keys concrete — calibration passes, deployments,
-        tune-on-first-call) with no cached winner, pick the window from
-        plan statistics and cache it (``choose_dg_window``).  Static
-        plan analysis, hardware-independent, so a CPU calibration run
-        tunes windows for the TPU run.  Disable: SPCONV_TPU_TUNE_WINDOW=0."""
-        import os
-
-        if os.environ.get("SPCONV_TPU_TUNE_WINDOW", "1") == "0":
-            return
-        if isinstance(input.features, jax.core.Tracer):
-            return
-        if not (self.subm and input.keys_sorted):
-            return
-        from ..ops.pallas import dg_conv as DG
-        from ..ops.pallas.dg_conv import dg_rows_for
-        from ..tuner import CONV_TUNER
-
-        rows = dg_rows_for(self.in_channels, self.out_channels)
-        wsig = self._dg_window_sig(input, rows)
-        if CONV_TUNER.get_dg_window(**wsig) is not None:
-            return
-        spatial_shape = tuple(int(s) for s in input.spatial_shape)
-        keys_t, _s = C.linearize(input.indices, spatial_shape,
-                                 input.batch_size)
-        sent_t = int(np.prod(spatial_shape)) * int(input.batch_size)
-        window = DG.choose_dg_window(
-            keys_t, sent_t, spatial_shape, self.kernel_size,
-            self.dilation, tile=128 * rows)
-        CONV_TUNER.cache_dg_window(window=window, **wsig)
-
     def _call_dg(
         self,
         input: SparseConvTensor,
@@ -602,10 +567,13 @@ class SparseConvolution(Module):
         rows = dg_rows_for(self.in_channels, self.out_channels)
         interpret = jax.default_backend() == "cpu"
 
-        # window geometry: tuned per (n, kv, grid, batch) when a cached
-        # winner exists (the fixed default mis-sizes at high voxel
-        # density — round-3 large-scan regression); the tuning itself
-        # runs in _maybe_tune_dg_window on any eager call
+        # window geometry: the measured default (384 at rows=1) wins on
+        # v5e at every tested density (125k/914k scans + CenterPoint;
+        # the offset-major gather flattened the old serial-sweep cost
+        # that once favored wider windows).  A cached winner, written
+        # only by an ON-DEVICE sweep (tools/probe_prefix.py style),
+        # overrides — plan-statistics cost models proved unable to
+        # predict silicon and were retired in round 4.
         window = (self._tuned_dg_window(input, rows)
                   or dg_window_for(rows))
 

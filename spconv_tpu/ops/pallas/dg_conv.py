@@ -59,7 +59,7 @@ __all__ = [
     "dg_subm_conv", "dg_regular_conv", "dg_subm_conv_q",
     "dg_regular_conv_q", "chunk_table", "chunk_keys",
     "unchunk_out", "DGData", "dg_rows_for", "dg_window_for",
-    "build_dg_pos", "choose_dg_window",
+    "build_dg_pos",
 ]
 
 _KROWS = 8  # sublane rows in the chunked key table (row 0 = keys)
@@ -88,46 +88,13 @@ def dg_window_for(rows: int) -> int:
     return 256 + 128 * int(rows)
 
 
-def choose_dg_window(keys, sentinel, shape, ksize, dilation,
-                     tile: int = 128,
-                     candidates=(256, 384, 512, 768, 1024)) -> int:
-    """Pick the window size minimizing estimated kernel cost for THIS
-    key distribution (an eager, cacheable tuning decision — the window
-    is a static kernel parameter, so it must be chosen before trace).
-
-    The round-3 large-scan regression was exactly this: the fixed
-    384-row window forced serial multi-window sweeps on 30-71% of tiles
-    at 900k-voxel density (nw up to 28).  Cost model per window size:
-    every pass costs ∝ wch (window chunks drive DMA, search selects and
-    gathers), the main pass is pipelined but each extra sweep pass is
-    serial (DMA not overlapped) — weighted 4×, calibrated on the 914k
-    scan at C=64 on v5e (384: 32.6 ms/layer, 768: 26.1 — the 2.83×
-    break-even penalty is exceeded, tools/probe_pos.py r4).
-
-    Parity: the reference tuner profiles tile configs on live shapes
-    and caches winners (``convops.py:1150-1467``); here the tunable is
-    the window geometry and the measurement is plan statistics."""
-    from .sorted_conv import (_n_pad_for as _npf, _pad_rows as _pr,
-                              build_sk_plans as _bsp,
-                              sk_groups as _skg,
-                              subm_key_deltas as _skd)
-
-    keys = np.asarray(keys)
-    deltas_np, _ = _skd(tuple(ksize), tuple(dilation), tuple(shape))
-    groups = _skg(tuple(ksize), include_center=True)
-    best_w, best_cost = candidates[0], float("inf")
-    for w in candidates:
-        np_t, n_pad = _npf(keys.shape[0], tile, w)
-        plans = _bsp(jnp.asarray(_pr(jnp.asarray(keys), np_t, sentinel)),
-                     sentinel, deltas_np, groups, tile=tile, window=w,
-                     n_pad=n_pad, align=128)
-        nw = np.asarray(plans[0].nw)
-        tiles = nw.shape[1]
-        extra = int(np.maximum(nw - 1, 0).sum())
-        cost = (w // _LANE) * (tiles + 4.0 * extra)
-        if cost < best_cost:
-            best_w, best_cost = w, cost
-    return int(best_w)
+# A plan-statistics window cost model ("serial sweep passes cost 4×")
+# lived here through round 4 and was retired: its winners (768/1024 on
+# the 900k scan) were measured 10-40% SLOWER on v5e than the fixed 384
+# default once the offset-major gather landed — extra sweep passes
+# pipeline well; wider windows pay real search-step and DMA cost on
+# every tile.  On-device sweeps are the only trusted window tuner
+# (ConvTuner.cache_dg_window); plan stats could not predict silicon.
 
 # perf-ablation knob (tools/probe_dg_bench.py): "nosearch" replaces the
 # binary search with an iota guess, "nogather" skips the feature gather,

@@ -24,9 +24,6 @@ os.environ["JAX_PLATFORMS"] = "cpu"  # force: eager calibration must run
 # at local CPU speed, never through a device tunnel
 
 REPO = Path(__file__).resolve().parent.parent
-# window-geometry winners land in the repo-local tuner cache that
-# bench.py reads (choose_dg_window is static plan analysis, so CPU-run
-# results are valid for the TPU)
 os.environ["SPCONV_TPU_TUNE_CACHE"] = str(REPO / ".tune_cache")
 
 sys.path.insert(0, str(REPO))
@@ -52,23 +49,13 @@ def cp_section(batch):
     net = build_calibrated_encoder(x, dtype=jnp.float32)
     print(f"[calib] cp batch={batch}: {nv} voxels, "
           f"{time.time() - t0:.1f}s", flush=True)
-    bounds = export_out_bounds(net)
-    # second eager pass WITH the calibrated bounds applied: the
-    # window-geometry tuner keys on the actual buffer sizes the bench
-    # will trace with
-    t0 = time.time()
-    net2 = build_calibrated_encoder(x, dtype=jnp.float32, bounds=bounds)
-    net2.bev(x)
-    print(f"[calib] cp batch={batch} window-tune pass: "
-          f"{time.time() - t0:.1f}s", flush=True)
-    return bounds
+    return export_out_bounds(net)
 
 
 def bench_net_section(large):
-    """Eager BenchNet pass (pool bounds applied) — tunes the sorted-key
-    window geometry for every subm stage of the basic/large nets."""
+    """Measure and cache the bench nets' deployment pool bounds."""
     from spconv_tpu.benchmark.basic import (
-        BenchNet, load_basic_data, load_large_data, make_bench_input,
+        load_basic_data, load_large_data, make_bench_input,
         measure_pool_bounds)
 
     tag = "large" if large else "basic"
@@ -80,17 +67,12 @@ def bench_net_section(large):
                          dtype=jnp.float32)
     bounds_file = REPO / (".bench_pool_bounds_large.json" if large
                           else ".bench_pool_bounds.json")
-    if bounds_file.exists():
-        pool_bounds = json.loads(bounds_file.read_text())
-    else:
-        pool_bounds = measure_pool_bounds(spatial_shape, x)
-        bounds_file.write_text(json.dumps(pool_bounds))
-    t0 = time.time()
-    net = BenchNet(spatial_shape, dtype=jnp.float32,
-                   pool_bounds=pool_bounds)
-    net(x)
-    print(f"[calib] {tag} window-tune pass: {time.time() - t0:.1f}s",
-          flush=True)
+    if not bounds_file.exists():
+        t0 = time.time()
+        bounds_file.write_text(
+            json.dumps(measure_pool_bounds(spatial_shape, x)))
+        print(f"[calib] {tag} pool bounds: {time.time() - t0:.1f}s",
+              flush=True)
 
 
 def cpq_section():

@@ -59,6 +59,11 @@ seq.append(("c12", net.convs[12]))
 seq.append(("c13", net.convs[13]))
 
 
+TRACED = "--traced" in sys.argv  # pass the net as a jit arg (bench.py
+# style: weights live in HBM) instead of closing over it (weights become
+# XLA constants)
+
+
 def time_prefix(k):
     @jax.jit
     def rep_fn(m, feats, inds):
@@ -67,8 +72,17 @@ def time_prefix(k):
             ii = inds + jnp.isnan(c).astype(inds.dtype)
             t = spconv_tpu.SparseConvTensor(f, ii, spatial_shape, 1,
                                             keys_sorted=True)
-            for j in range(k):
-                t = seq[j][1](t)
+            if TRACED:
+                c_, p_ = m.convs, m.pools
+                mseq = []
+                for stage in range(6):
+                    mseq += [c_[2 * stage], c_[2 * stage + 1], p_[stage]]
+                mseq += [c_[12], c_[13]]
+                for j in range(k):
+                    t = mseq[j](t)
+            else:
+                for j in range(k):
+                    t = seq[j][1](t)
             return jnp.sum(t.features.astype(jnp.float32))
 
         return jax.lax.fori_loop(0, REP, body, jnp.float32(0))
