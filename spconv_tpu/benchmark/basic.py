@@ -91,11 +91,25 @@ def load_large_data():
     ``benchmark/core.py:42-60``).  The voxelization result is cached on
     disk: an eager PointToVoxel pass through the device tunnel costs
     minutes of dispatch latency and the input is deterministic."""
-    cache = Path(__file__).resolve().parents[2] / ".bench_cache_large.npz"
+    # cache key = voxelizer params + source file size/mtime, so any change
+    # to PointToVoxel config or the reference point cloud invalidates the
+    # cache instead of silently masking it (ADVICE r4 low); files are
+    # gitignored (.bench_cache_large*.npz)
+    import hashlib
+
+    vox_params = ("v2", (0.1, 0.1, 0.1), (-80, -80, -2, 80, 80, 6), 3,
+                  1600000, 1, 8)
+    src = REF_DATA / "benchmark-pc.npz"
+    st = src.stat()
+    tag = hashlib.sha1(
+        repr((vox_params, st.st_size, int(st.st_mtime))).encode()
+    ).hexdigest()[:10]
+    cache = (Path(__file__).resolve().parents[2]
+             / f".bench_cache_large.{tag}.npz")
     if cache.exists():
         z = np.load(str(cache))
         return z["voxels"], z["coors"], list(z["shape"])
-    pc = np.load(str(REF_DATA / "benchmark-pc.npz"))["pc"]
+    pc = np.load(str(src))["pc"]
     pcs = [pc]
     for i in range(7):
         pc2 = pc.copy()

@@ -29,7 +29,18 @@ def load_centerpoint_input(dtype=jnp.bfloat16, bucket=1024, batch=1):
     """The north-star input scan; ``batch`` > 1 replicates it across batch
     indices (batch-major rows keep the key-sorted invariant) for ms/scan
     throughput measurement."""
-    cache = Path(__file__).resolve().parents[2] / ".bench_cache_cp.npz"
+    # cache keyed on voxelizer params + source stat so config/data changes
+    # invalidate it (ADVICE r4 low); gitignored
+    import hashlib
+
+    vox_params = ("v2", (0.1, 0.1, 0.1), (-51.2, -51.2, -5, 51.2, 51.2, 3),
+                  3, 200000, 1)
+    st = REF_PC.stat()
+    tag = hashlib.sha1(
+        repr((vox_params, st.st_size, int(st.st_mtime))).encode()
+    ).hexdigest()[:10]
+    cache = (Path(__file__).resolve().parents[2]
+             / f".bench_cache_cp.{tag}.npz")
     if cache.exists():
         z = np.load(str(cache))
         feats, coords, grid = z["feats"], z["coords"], tuple(z["shape"])

@@ -94,6 +94,12 @@ class _SparsePoolBase(Module):
             and self.padding == (0,) * self.ndim
             and self.dilation == (1,) * self.ndim
             and not C.use_pair_keys(input.spatial_shape, input.batch_size)
+            # a keyed pool must register an IndiceData record so a later
+            # SparseInverseConv(indice_key=...) can reuse the geometry
+            # (reference: spconv/pytorch/pool.py:161-173 stores IndiceData);
+            # the fast seg/sk paths build no pair table, so fall through to
+            # the native path whenever indice_key is set (ADVICE r4 high).
+            and self.indice_key is None
         )
         if is_pool2 and self.algo in ("seg", "auto"):
             # segment-reduce pool: one key sort + one row gather + an

@@ -109,13 +109,16 @@ def pool2_seg(
     seg = jnp.where(not_sent & (uniq_pos < out_bound), uniq_pos, out_bound)
 
     g = jnp.take(features, order, axis=0)
+    # segments are compacted by uniq_pos, so output row i is occupied iff
+    # i < num_out_total; masking by presence (not isfinite) preserves
+    # genuine non-finite feature values (ADVICE r4 low)
+    present = (jnp.arange(out_bound) < num_out_total)[:, None]
     if mode == "max":
         # bf16 stays bf16 end to end (max is exact; halves HBM traffic)
         acc = jnp.full((out_bound + 1, c), -jnp.inf, features.dtype)
         acc = acc.at[seg].max(g, mode="drop", indices_are_sorted=True,
                               unique_indices=False)
-        out_feat = acc[:out_bound]
-        out_feat = jnp.where(jnp.isfinite(out_feat), out_feat, 0)
+        out_feat = jnp.where(present, acc[:out_bound], 0)
     elif mode == "mean":
         acc = jnp.zeros((out_bound + 1, c), jnp.float32)
         acc = acc.at[seg].add(g.astype(jnp.float32), mode="drop",

@@ -240,3 +240,41 @@ def test_benchmark_record_per_layer(rng):
         return o.features
 
     f(x.features)
+
+
+def test_keyed_pool_then_inverse_conv(rng):
+    """A SparseMaxPool2x2 with indice_key must register a rulebook record
+    so SparseInverseConv can reuse it (ADVICE r4 high; reference parity:
+    spconv/pytorch/pool.py:161-173 stores IndiceData)."""
+    x, feats_p, inds_p = make_input(rng, shape=(8, 10, 12))
+    pool = spconv_tpu.SparseMaxPool3d(2, 2, indice_key="p1")
+    dec = spconv_tpu.SparseInverseConv3d(4, 4, 2, indice_key="p1",
+                                         bias=False)
+    mid = pool(x)
+    assert "p1" in mid.indice_dict
+    back = dec(mid)
+    np.testing.assert_array_equal(np.asarray(back.indices),
+                                  np.asarray(x.indices))
+
+
+def test_pool2_seg_preserves_nonfinite(rng):
+    """pool2_seg masks empty rows by segment presence, so legitimate
+    -inf/+inf/nan feature values survive the max (ADVICE r4 low)."""
+    from spconv_tpu.ops.pool import pool2_seg
+
+    inds = np.array([[0, 0, 0, 0], [0, 0, 0, 1], [0, 2, 2, 2],
+                     [-1, -1, -1, -1]], np.int32)
+    feats = np.array([[-np.inf, 1.0], [-np.inf, 0.5],
+                      [np.inf, np.nan], [0.0, 0.0]], np.float32)
+    out_feat, out_inds, num_out = pool2_seg(
+        jnp.asarray(feats), jnp.asarray(inds),
+        spatial_shape=(4, 4, 4), batch_size=1, out_bound=8, mode="max")
+    out_feat = np.asarray(out_feat)
+    oi = np.asarray(out_inds)
+    assert int(num_out) == 2
+    row0 = np.where((oi == [0, 0, 0, 0]).all(1))[0][0]
+    row1 = np.where((oi == [0, 1, 1, 1]).all(1))[0][0]
+    assert out_feat[row0, 0] == -np.inf and out_feat[row0, 1] == 1.0
+    assert out_feat[row1, 0] == np.inf and np.isnan(out_feat[row1, 1])
+    # empty rows stay exactly zero
+    assert np.all(out_feat[int(num_out):] == 0)
