@@ -183,9 +183,21 @@ class SparseConvolution(Module):
             # fresh tensor, so carry the producer's records forward
             for k, v in input.benchmark_record.items():
                 out.benchmark_record.setdefault(k, v)
+            num_pairs = None
+            if not isinstance(input.features, jax.core.Tracer):
+                # exact pair count (→ MAC count) on eager passes: the 1×1
+                # path touches every active row once; rulebook paths read
+                # the cached pair table when one exists (native algo)
+                if self.conv1x1:
+                    num_pairs = input.num_voxels
+                elif self.indice_key is not None:
+                    data = out.find_indice_pair(self.indice_key)
+                    if data is not None and hasattr(data, "pair_fwd"):
+                        num_pairs = jnp.sum(
+                            (data.pair_fwd >= 0).astype(jnp.int32))
             record_benchmark_layer(
                 out, name, self, n_in=input.num_voxels,
-                n_out=out.num_voxels,
+                n_out=out.num_voxels, num_pairs=num_pairs,
             )
         return out
 

@@ -59,7 +59,8 @@ def _accepts_training(layer) -> bool:
     return hit
 
 
-def record_benchmark_layer(out, name, module, *, n_in=None, n_out=None):
+def record_benchmark_layer(out, name, module, *, n_in=None, n_out=None,
+                           num_pairs=None):
     """Append a per-layer record to ``out.benchmark_record`` under
     ``benchmark=True`` (parity: reference per-layer time/voxel recording,
     ``conv.py:201-224,494-501``).  On TPU, per-layer *time* comes from
@@ -82,6 +83,10 @@ def record_benchmark_layer(out, name, module, *, n_in=None, n_out=None):
         "type": type(module).__name__,
         "num_voxels_in": _concrete(n_in),
         "num_voxels_out": _concrete(n_out),
+        # exact (in,out) pair count when available (eager native path):
+        # layer MACs = num_pairs * C_in * C_out — feeds the bench's MFU
+        # estimate (reference analog: per-layer voxel stats, conv.py:201)
+        "num_pairs": _concrete(num_pairs),
     }
     for attr in ("in_channels", "out_channels", "kernel_size", "stride",
                  "algo", "indice_key"):

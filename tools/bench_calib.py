@@ -94,6 +94,65 @@ def cpq_section():
     return bounds, scales
 
 
+def _macs_from_record(record) -> int:
+    """Exact conv MAC count from a benchmark=True eager pass: each conv
+    layer records its (in,out) pair count; MACs = pairs × C_in × C_out."""
+    total = 0
+    for rec in record.values():
+        np_ = rec.get("num_pairs")
+        ci, co = rec.get("in_channels"), rec.get("out_channels")
+        if np_ and ci and co:
+            total += int(np_) * int(ci) * int(co)
+    return total
+
+
+def macs_section(art):
+    """Count each bench net's useful conv MACs (one eager native-algo
+    pass with ``benchmark=True``) so bench.py can print a crude MFU
+    estimate next to every headline time."""
+    import spconv_tpu  # noqa: F401
+    from spconv_tpu.benchmark.basic import (
+        BenchNet, load_basic_data, load_large_data, make_bench_input)
+
+    for large in (False, True):
+        tag = "large" if large else "basic"
+        if f"macs_{tag}" in art:
+            continue
+        t0 = time.time()
+        if large:
+            voxels, coors, spatial_shape = load_large_data()
+        else:
+            voxels, coors, spatial_shape = load_basic_data()
+        x = make_bench_input(voxels, coors, spatial_shape,
+                             dtype=jnp.float32)
+        x.benchmark = True
+        bfile = REPO / (".bench_pool_bounds_large.json" if large
+                        else ".bench_pool_bounds.json")
+        bounds = json.loads(bfile.read_text()) if bfile.exists() else None
+        net = BenchNet(spatial_shape, pool_bounds=bounds, algo="native")
+        y = net(x)
+        art[f"macs_{tag}"] = _macs_from_record(y.benchmark_record)
+        print(f"[calib] macs_{tag} = {art[f'macs_{tag}']/1e9:.2f} GMAC "
+              f"({time.time() - t0:.1f}s)", flush=True)
+
+    if "macs_cp_b1" not in art and "cp_bounds_b1" in art:
+        from spconv_tpu.benchmark.centerpoint import load_centerpoint_input
+        from spconv_tpu.calibrate import apply_out_bounds
+        from spconv_tpu.models import centerpoint_encoder
+
+        t0 = time.time()
+        x, _nv = load_centerpoint_input(dtype=jnp.float32)
+        x.benchmark = True
+        net = centerpoint_encoder(in_channels=5, bn=False,
+                                  dtype=jnp.float32, algo="native")
+        net = apply_out_bounds(net, art["cp_bounds_b1"])
+        y = net(x)
+        art["macs_cp_b1"] = _macs_from_record(y.benchmark_record)
+        print(f"[calib] macs_cp_b1 = {art['macs_cp_b1']/1e9:.2f} GMAC "
+              f"({time.time() - t0:.1f}s)", flush=True)
+    return art
+
+
 def main():
     art = {}
     if OUT.exists():
@@ -115,6 +174,9 @@ def main():
         bench_net_section(False)
     if only in (None, "large"):
         bench_net_section(True)
+    if only in (None, "macs"):
+        art = macs_section(art)
+        OUT.write_text(json.dumps(art))
     print(f"[calib] wrote {OUT}", flush=True)
 
 
