@@ -27,6 +27,12 @@ SPCONV_OUT_BOUND_RATIO = float(os.getenv("SPCONV_TPU_OUT_BOUND_RATIO", "2.0"))
 # the tuner; set SPCONV_TPU_ALGO=native/sk/dg to force one globally
 SPCONV_DEFAULT_ALGO = os.getenv("SPCONV_TPU_ALGO", "auto")
 
+# debug: every bounded output-discovery op host-asserts that its static
+# out_bound did not truncate the active set (adds a host callback / sync
+# per bounded op — debug only).  Eager equivalent without the flag:
+# SparseConvTensor.check_overflow().
+SPCONV_CHECK_OVERFLOW = os.getenv("SPCONV_TPU_CHECK_OVERFLOW", "0") == "1"
+
 # directory for the tuner's on-disk cache (parity: spconv's tuner cache)
 SPCONV_TUNE_CACHE = os.getenv(
     "SPCONV_TPU_TUNE_CACHE", str(Path.home() / ".cache" / "spconv_tpu")

@@ -97,10 +97,17 @@ class IndiceData(_PytreeRecord):
     * ``num_out``: device scalar — number of active output sites.
     * ``num_in``: device scalar — number of active input sites (the
       inverse conv's output count, ``spconv/pytorch/conv.py:348-363``).
+    * ``num_out_total``: device scalar — output-site count BEFORE the
+      static ``out_bound`` clamp.  ``num_out_total > num_out`` means the
+      bounded build dropped sites (the reference's bounded stage-2 drops
+      the same way, ``csrc/sparse/indices.py:460-499`` — but there the
+      bounded mode is opt-in; here it is the only mode, so the overflow
+      must be observable: see ``SparseConvTensor.check_overflow``).
     """
 
     _leaf_fields = (
-        "pair_fwd", "pair_bwd", "out_indices", "indices", "num_out", "num_in"
+        "pair_fwd", "pair_bwd", "out_indices", "indices", "num_out",
+        "num_in", "num_out_total",
     )
     _static_fields = (
         "is_subm",
@@ -122,6 +129,7 @@ class IndiceData(_PytreeRecord):
         indices: jax.Array,
         num_out: jax.Array,
         num_in: Optional[jax.Array] = None,
+        num_out_total: Optional[jax.Array] = None,
         *,
         is_subm: bool,
         spatial_shape: Tuple[int, ...],
@@ -141,6 +149,7 @@ class IndiceData(_PytreeRecord):
         if num_in is None:
             num_in = jnp.sum((indices[:, 0] >= 0).astype(jnp.int32))
         self.num_in = num_in
+        self.num_out_total = num_out if num_out_total is None else num_out_total
         self.is_subm = is_subm
         self.spatial_shape = tuple(spatial_shape)
         self.out_spatial_shape = tuple(out_spatial_shape)
@@ -174,6 +183,8 @@ class SparseConvTensor:
         indice_dict: Optional[Dict[str, IndiceData]] = None,
         benchmark: bool = False,
         keys_sorted: bool = False,
+        num_out_total: Optional[jax.Array] = None,
+        q_scale: Optional[jax.Array] = None,
     ):
         assert features.ndim == 2, "features must be [N, C]"
         assert indices.ndim == 2, "indices must be [N, ndim+1]"
@@ -201,6 +212,15 @@ class SparseConvTensor:
         # is set.  Hand-built tensors default to False and take the
         # always-correct native path (or call :meth:`sort_by_key`).
         self.keys_sorted = bool(keys_sorted)
+        # pre-clamp output-site count of the bounded op that produced this
+        # tensor (device scalar), or None when no bounded discovery ran.
+        # num_out_total > num_voxels ⇒ sites were silently dropped; see
+        # :meth:`check_overflow`.
+        self.num_out_total = num_out_total
+        # int8 interop: quantization scale of the features, carried on the
+        # tensor like the reference (``spconv/pytorch/core.py:132-184``
+        # ``q_scale``) so quantized and float layers mix in user graphs.
+        self.q_scale = q_scale
 
     # ------------------------------------------------------------------
     @property
@@ -229,6 +249,42 @@ class SparseConvTensor:
         sigmoid/bias-like ops whose f(0) != 0)."""
         feature = jnp.where(self.valid_mask[:, None], feature, 0)
         return self.replace_feature(feature)
+
+    @property
+    def overflowed(self) -> Optional[jax.Array]:
+        """Device bool — True when the bounded op that produced this tensor
+        dropped output sites (``num_out_total > num_voxels``).  None when
+        no bounded discovery produced this tensor.  Usable inside jit
+        (e.g. returned as an aux output and checked per step)."""
+        if self.num_out_total is None:
+            return None
+        return self.num_out_total > self.num_voxels
+
+    def check_overflow(self, context: str = "") -> None:
+        """Eager overflow check: raises if the producing op's static
+        ``out_bound`` truncated the active set (reference analog: the
+        opt-in bounded stage-2, ``csrc/sparse/indices.py:460-499`` — here
+        bounded buffers are the only mode, so a miscalibrated bound must
+        be detectable, not silent).  Call outside jit (concrete arrays),
+        e.g. once on a representative input after choosing bounds, or
+        with ``SPCONV_TPU_CHECK_OVERFLOW=1`` every bounded op self-checks
+        via a host callback (debug; adds a sync)."""
+        if self.num_out_total is None:
+            return
+        if isinstance(self.num_voxels, jax.core.Tracer):
+            raise RuntimeError(
+                "check_overflow() must run outside jit — use the "
+                ".overflowed device scalar inside traced code")
+        total = int(self.num_out_total)
+        got = int(self.num_voxels)
+        if total > got:
+            raise ValueError(
+                f"sparse op output overflowed its static out_bound"
+                f"{' in ' + context if context else ''}: {total} active "
+                f"sites produced, only {got} kept (buffer "
+                f"{self.indices.shape[0]}). Raise out_bound / "
+                f"out_bound_ratio on the producing layer."
+            )
 
     def find_indice_pair(self, key: Optional[str]) -> Optional[IndiceData]:
         if key is None:
@@ -309,6 +365,8 @@ class SparseConvTensor:
         new.benchmark = self.benchmark
         new.benchmark_record = dict(self.benchmark_record)
         new.keys_sorted = self.keys_sorted
+        new.num_out_total = self.num_out_total
+        new.q_scale = self.q_scale
         return new
 
     def __repr__(self):
@@ -320,9 +378,8 @@ class SparseConvTensor:
 
 def _sct_flatten(t: SparseConvTensor):
     keys = tuple(sorted(t.indice_dict.keys()))
-    children = (t.features, t.indices, t.num_voxels) + tuple(
-        t.indice_dict[k] for k in keys
-    )
+    children = (t.features, t.indices, t.num_voxels, t.num_out_total,
+                t.q_scale) + tuple(t.indice_dict[k] for k in keys)
     aux = (t.spatial_shape, t.batch_size, keys, t.benchmark,
            getattr(t, "keys_sorted", False))
     return children, aux
@@ -331,8 +388,9 @@ def _sct_flatten(t: SparseConvTensor):
 def _sct_unflatten(aux, children):
     spatial_shape, batch_size, keys, benchmark, keys_sorted = aux
     t = object.__new__(SparseConvTensor)
-    t.features, t.indices, t.num_voxels = children[:3]
-    t.indice_dict = dict(zip(keys, children[3:]))
+    (t.features, t.indices, t.num_voxels, t.num_out_total,
+     t.q_scale) = children[:5]
+    t.indice_dict = dict(zip(keys, children[5:]))
     t.spatial_shape = spatial_shape
     t.batch_size = batch_size
     t.benchmark = benchmark

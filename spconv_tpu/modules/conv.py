@@ -429,6 +429,11 @@ class SparseConvolution(Module):
             from ..calibrate import _maybe_record
 
             _maybe_record(self, data.num_out)
+            from ..debug_utils import maybe_assert_overflow
+
+            maybe_assert_overflow(
+                data.num_out_total, data.pair_fwd.shape[1],
+                self.name or type(self).__name__)
 
         out_feat = indice_conv(
             features,
@@ -469,6 +474,8 @@ class SparseConvolution(Module):
             indice_dict=dict(input.indice_dict),
             benchmark=input.benchmark,
             keys_sorted=out_sorted,
+            num_out_total=(None if (is_subm or self.inverse)
+                           else data.num_out_total),
         )
         if new_data is not None and self.indice_key is not None:
             out.indice_dict[self.indice_key] = new_data
@@ -762,30 +769,37 @@ class SparseConvolution(Module):
             out_keys = rec.out_keys
             out_indices = rec.out_indices
             num_out = rec.num_out
+            num_out_total = rec.num_out_total
             plans = rec.plans
         else:
             if self.transposed:
                 from ..ops.rulebook import build_deconv_outputs
 
                 out_bound = self._resolve_out_bound(indices.shape[0])
-                out_indices, out_keys, num_out = build_deconv_outputs(
-                    indices, spatial_shape=spatial_shape,
-                    batch_size=batch_size, ksize=self.kernel_size,
-                    stride=self.stride, padding=self.padding,
-                    dilation=self.dilation,
-                    out_padding=self.output_padding,
-                    out_bound=out_bound,
-                )
+                out_indices, out_keys, num_out, num_out_total = \
+                    build_deconv_outputs(
+                        indices, spatial_shape=spatial_shape,
+                        batch_size=batch_size, ksize=self.kernel_size,
+                        stride=self.stride, padding=self.padding,
+                        dilation=self.dilation,
+                        out_padding=self.output_padding,
+                        out_bound=out_bound,
+                    )
             else:
                 out_bound = self._resolve_out_bound(indices.shape[0])
-                out_indices, out_keys, num_out = build_conv_outputs(
-                    indices, spatial_shape=spatial_shape,
-                    batch_size=batch_size, ksize=self.kernel_size,
-                    stride=self.stride, padding=self.padding,
-                    dilation=self.dilation, out_bound=out_bound,
-                )
+                out_indices, out_keys, num_out, num_out_total = \
+                    build_conv_outputs(
+                        indices, spatial_shape=spatial_shape,
+                        batch_size=batch_size, ksize=self.kernel_size,
+                        stride=self.stride, padding=self.padding,
+                        dilation=self.dilation, out_bound=out_bound,
+                    )
             in_keys, _ = C.linearize(indices, spatial_shape, batch_size)
             plans = None
+            from ..debug_utils import maybe_assert_overflow
+
+            maybe_assert_overflow(num_out_total, out_bound,
+                                  self.name or type(self).__name__)
 
         if self.transposed:
             # transposed conv == inverse-mode kernel with the spaces
@@ -810,6 +824,7 @@ class SparseConvolution(Module):
         if ck and not isinstance(rec, SKRegData):
             new_rec = SKRegData(
                 in_keys, out_keys, out_indices, num_out, plans,
+                num_out_total,
                 ksize=self.kernel_size, stride=self.stride,
                 padding=self.padding, dilation=self.dilation,
                 in_shape=spatial_shape, out_shape=out_shape,
@@ -836,6 +851,7 @@ class SparseConvolution(Module):
             indice_dict=dict(input.indice_dict),
             benchmark=input.benchmark,
             keys_sorted=True,
+            num_out_total=num_out_total,
         )
         if new_rec is not None:
             out.indice_dict[ck] = new_rec
@@ -935,30 +951,37 @@ class SparseConvolution(Module):
             out_keys = rec.out_keys
             out_indices = rec.out_indices
             num_out = rec.num_out
+            num_out_total = rec.num_out_total
             plans = rec.plans
         else:
             if self.transposed:
                 from ..ops.rulebook import build_deconv_outputs
 
                 out_bound = self._resolve_out_bound(indices.shape[0])
-                out_indices, out_keys, num_out = build_deconv_outputs(
-                    indices, spatial_shape=spatial_shape,
-                    batch_size=batch_size, ksize=self.kernel_size,
-                    stride=self.stride, padding=self.padding,
-                    dilation=self.dilation,
-                    out_padding=self.output_padding,
-                    out_bound=out_bound,
-                )
+                out_indices, out_keys, num_out, num_out_total = \
+                    build_deconv_outputs(
+                        indices, spatial_shape=spatial_shape,
+                        batch_size=batch_size, ksize=self.kernel_size,
+                        stride=self.stride, padding=self.padding,
+                        dilation=self.dilation,
+                        out_padding=self.output_padding,
+                        out_bound=out_bound,
+                    )
             else:
                 out_bound = self._resolve_out_bound(indices.shape[0])
-                out_indices, out_keys, num_out = build_conv_outputs(
-                    indices, spatial_shape=spatial_shape,
-                    batch_size=batch_size, ksize=self.kernel_size,
-                    stride=self.stride, padding=self.padding,
-                    dilation=self.dilation, out_bound=out_bound,
-                )
+                out_indices, out_keys, num_out, num_out_total = \
+                    build_conv_outputs(
+                        indices, spatial_shape=spatial_shape,
+                        batch_size=batch_size, ksize=self.kernel_size,
+                        stride=self.stride, padding=self.padding,
+                        dilation=self.dilation, out_bound=out_bound,
+                    )
             in_keys, _ = C.linearize(indices, spatial_shape, batch_size)
             plans = None
+            from ..debug_utils import maybe_assert_overflow
+
+            maybe_assert_overflow(num_out_total, out_bound,
+                                  self.name or type(self).__name__)
 
         if self.transposed:
             # transposed conv == inverse-mode kernel with the spaces
@@ -982,6 +1005,7 @@ class SparseConvolution(Module):
         if ck and not isinstance(rec, SK.SKRegData):
             new_rec = SK.SKRegData(
                 in_keys, out_keys, out_indices, num_out, plans,
+                num_out_total,
                 ksize=self.kernel_size, stride=self.stride,
                 padding=self.padding, dilation=self.dilation,
                 in_shape=spatial_shape, out_shape=out_shape, tile=tile,
@@ -1009,6 +1033,7 @@ class SparseConvolution(Module):
             # build_conv_outputs / build_deconv_outputs emit ascending
             # unique keys with invalid rows at the tail
             keys_sorted=True,
+            num_out_total=num_out_total,
         )
         if new_rec is not None:
             out.indice_dict[ck] = new_rec

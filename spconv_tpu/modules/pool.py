@@ -113,16 +113,20 @@ class _SparsePoolBase(Module):
             out_shape = tuple(int(v) for v in C.get_conv_output_size(
                 in_shape, (2,) * self.ndim, (2,) * self.ndim,
                 (0,) * self.ndim, (1,) * self.ndim))
-            out_feat, out_indices, num_out = pool2_seg(
+            out_bound = self._resolve_out_bound(input.indices.shape[0])
+            out_feat, out_indices, num_out, num_out_total = pool2_seg(
                 input.features, input.indices,
                 spatial_shape=in_shape,
                 batch_size=int(input.batch_size),
-                out_bound=self._resolve_out_bound(input.indices.shape[0]),
+                out_bound=out_bound,
                 mode=self._mode,
             )
             from ..calibrate import _maybe_record
+            from ..debug_utils import maybe_assert_overflow
 
             _maybe_record(self, num_out)
+            maybe_assert_overflow(num_out_total, out_bound,
+                                  self.name or type(self).__name__)
             return SparseConvTensor(
                 out_feat,
                 out_indices,
@@ -133,6 +137,7 @@ class _SparsePoolBase(Module):
                 benchmark=input.benchmark,
                 # discovery emits ascending unique keys
                 keys_sorted=True,
+                num_out_total=num_out_total,
             )
         if (
             is_pool2
@@ -148,12 +153,18 @@ class _SparsePoolBase(Module):
             out_shape = tuple(int(v) for v in C.get_conv_output_size(
                 in_shape, (2,) * self.ndim, (2,) * self.ndim,
                 (0,) * self.ndim, (1,) * self.ndim))
-            out_indices, out_keys, num_out = build_pool2_outputs(
-                input.indices,
-                spatial_shape=in_shape,
-                batch_size=input.batch_size,
-                out_bound=self._resolve_out_bound(input.indices.shape[0]),
-            )
+            out_bound = self._resolve_out_bound(input.indices.shape[0])
+            out_indices, out_keys, num_out, num_out_total = \
+                build_pool2_outputs(
+                    input.indices,
+                    spatial_shape=in_shape,
+                    batch_size=input.batch_size,
+                    out_bound=out_bound,
+                )
+            from ..debug_utils import maybe_assert_overflow
+
+            maybe_assert_overflow(num_out_total, out_bound,
+                                  self.name or type(self).__name__)
             in_keys, _ = C.linearize(
                 input.indices, input.spatial_shape, input.batch_size
             )
@@ -177,6 +188,7 @@ class _SparsePoolBase(Module):
                 benchmark=input.benchmark,
                 # build_pool2_outputs emits ascending unique keys
                 keys_sorted=True,
+                num_out_total=num_out_total,
             )
 
         if self.subm:
@@ -241,6 +253,7 @@ class _SparsePoolBase(Module):
             indice_dict=dict(input.indice_dict),
             benchmark=input.benchmark,
             keys_sorted=(input.keys_sorted if self.subm else True),
+            num_out_total=(None if self.subm else data.num_out_total),
         )
         if self.indice_key is not None and self.indice_key not in out.indice_dict:
             out.indice_dict[self.indice_key] = data

@@ -1534,7 +1534,8 @@ class SKRegData:
     sharing the ``indice_key`` reuses everything with the plans swapped
     (the reference's rulebook-reuse semantics, ``conv.py:348-363``)."""
 
-    def __init__(self, in_keys, out_keys, out_indices, num_out, plans, *,
+    def __init__(self, in_keys, out_keys, out_indices, num_out, plans,
+                 num_out_total=None, *,
                  ksize, stride, padding, dilation, in_shape, out_shape,
                  tile, window, transposed=False, output_padding=None):
         self.in_keys = in_keys
@@ -1542,6 +1543,9 @@ class SKRegData:
         self.out_indices = out_indices
         self.num_out = num_out
         self.plans = plans
+        # pre-clamp output-site count (overflow observability; None on
+        # records built before the count was threaded through)
+        self.num_out_total = num_out if num_out_total is None else num_out_total
         self.ksize = tuple(ksize)
         self.stride = tuple(stride)
         self.padding = tuple(padding)
@@ -1557,7 +1561,7 @@ class SKRegData:
 
 def _skreg_flatten(obj):
     return ((obj.in_keys, obj.out_keys, obj.out_indices, obj.num_out,
-             obj.plans),
+             obj.plans, obj.num_out_total),
             (obj.ksize, obj.stride, obj.padding, obj.dilation,
              obj.in_shape, obj.out_shape, obj.tile, obj.window,
              obj.transposed, obj.output_padding))
@@ -1566,7 +1570,7 @@ def _skreg_flatten(obj):
 def _skreg_unflatten(aux, children):
     obj = object.__new__(SKRegData)
     (obj.in_keys, obj.out_keys, obj.out_indices, obj.num_out,
-     obj.plans) = children
+     obj.plans, obj.num_out_total) = children
     (obj.ksize, obj.stride, obj.padding, obj.dilation, obj.in_shape,
      obj.out_shape, obj.tile, obj.window, obj.transposed,
      obj.output_padding) = aux

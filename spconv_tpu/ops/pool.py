@@ -140,7 +140,8 @@ def pool2_seg(
     out_keys = out_keys.at[uniq_scatter].set(sk, mode="drop")
     out_valid = ~C.is_sentinel(out_keys, sentinel)
     out_indices = C.delinearize(out_keys, out_shape, out_valid)
-    return out_feat, out_indices, jnp.minimum(num_out_total, out_bound)
+    return (out_feat, out_indices, jnp.minimum(num_out_total, out_bound),
+            num_out_total)
 
 
 def global_pool(

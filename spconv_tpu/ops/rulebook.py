@@ -272,6 +272,7 @@ def build_conv_rulebook(
         out_indices=out_indices,
         indices=indices,
         num_out=num_out,
+        num_out_total=num_out_total,
         is_subm=False,
         spatial_shape=tuple(spatial_shape),
         out_spatial_shape=tuple(int(s) for s in out_shape),
@@ -357,6 +358,7 @@ def build_pool2_rulebook(
         out_indices=out_indices,
         indices=indices,
         num_out=jnp.minimum(num_out_total, out_bound),
+        num_out_total=num_out_total,
         is_subm=False,
         spatial_shape=tuple(spatial_shape),
         out_spatial_shape=tuple(int(s) for s in out_shape),
@@ -416,7 +418,8 @@ def build_pool2_outputs(
     out_indices = C.delinearize(out_keys, out_shape, out_valid)
     # NOTE: out_shape is static python math — callers recompute it via
     # C.get_conv_output_size (a jitted fn cannot return static tuples)
-    return (out_indices, out_keys, jnp.minimum(num_out_total, out_bound))
+    return (out_indices, out_keys, jnp.minimum(num_out_total, out_bound),
+            num_out_total)
 
 
 
@@ -507,7 +510,8 @@ def build_conv_outputs(
     out_keys = out_keys.at[uniq_scatter].set(sk, mode="drop")
     out_valid = out_keys != sentinel
     out_indices = C.delinearize(out_keys, out_shape, out_valid)
-    return out_indices, out_keys, jnp.minimum(num_out_total, out_bound)
+    return (out_indices, out_keys, jnp.minimum(num_out_total, out_bound),
+            num_out_total)
 
 
 @partial(
@@ -573,7 +577,8 @@ def build_deconv_outputs(
     out_keys = out_keys.at[uniq_scatter].set(sk, mode="drop")
     out_valid = out_keys != sentinel
     out_indices = C.delinearize(out_keys, out_shape, out_valid)
-    return out_indices, out_keys, jnp.minimum(num_out_total, out_bound)
+    return (out_indices, out_keys, jnp.minimum(num_out_total, out_bound),
+            num_out_total)
 
 
 def get_indice_pairs(

@@ -300,7 +300,7 @@ class QuantizedSparseConv(Module):
                 plans = rec.plans
             else:
                 rec = None
-                out_indices, out_keys, num_out = build_conv_outputs(
+                out_indices, out_keys, num_out, _total = build_conv_outputs(
                     x.indices, spatial_shape=spatial_shape,
                     batch_size=x.batch_size, ksize=cfg.kernel_size,
                     stride=cfg.stride, padding=cfg.padding,

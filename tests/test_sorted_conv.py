@@ -225,7 +225,7 @@ def test_sk_pool2_matches_rulebook(rng, mode):
     from spconv_tpu.ops import coords as CC
     out_shape = tuple(int(v) for v in CC.get_conv_output_size(
         shape, (2,) * 3, (2,) * 3, (0,) * 3, (1,) * 3))
-    out_indices, out_keys, num_out = build_pool2_outputs(
+    out_indices, out_keys, num_out, _total = build_pool2_outputs(
         inds, spatial_shape=shape, batch_size=1, out_bound=512)
     in_keys, _ = _keys_of(inds, shape, 1)
 
@@ -300,7 +300,7 @@ def test_sk_regular_conv_vs_rulebook(rng, ksize, stride, padding):
     w = jnp.asarray(rng.randn(k_out, *ksize, c).astype(np.float32) * 0.1)
     dil = (1, 1, 1)
 
-    out_indices, out_keys, num_out = build_conv_outputs(
+    out_indices, out_keys, num_out, _total = build_conv_outputs(
         inds, spatial_shape=shape, batch_size=1, ksize=ksize,
         stride=stride, padding=padding, dilation=dil, out_bound=512)
     out_shape = tuple(int(v) for v in CC.get_conv_output_size(
@@ -385,7 +385,7 @@ def test_sk_transposed_conv_vs_rulebook(rng, ksize, stride, padding):
     dil = (1, 1, 1)
     opad = (0, 0, 0)
 
-    out_indices, out_keys, num_out = build_deconv_outputs(
+    out_indices, out_keys, num_out, _total = build_deconv_outputs(
         inds, spatial_shape=shape, batch_size=1, ksize=ksize,
         stride=stride, padding=padding, dilation=dil, out_padding=opad,
         out_bound=2048)
