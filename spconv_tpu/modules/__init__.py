@@ -21,3 +21,4 @@ from .modules import (
     assign_name_for_sparse_modules,
 )
 from .tables import AddTable, ConcatTable, JoinTable
+from .spatial import RemoveDuplicate

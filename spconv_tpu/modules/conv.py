@@ -174,8 +174,19 @@ class SparseConvolution(Module):
         runs one algorithm, so the training key selects the algo whose
         *combined* fwd+bwd time wins."""
         name = self.name or type(self).__name__
+        eager_bench = (input.benchmark
+                       and not isinstance(input.features, jax.core.Tracer))
+        if eager_bench:
+            import time as _time
+
+            jax.block_until_ready(input.features)
+            _t0 = _time.perf_counter()
         with jax.named_scope(name):
             out = self._forward(input, add_input, training=training)
+        time_ms = None
+        if eager_bench:
+            jax.block_until_ready(out.features)
+            time_ms = (_time.perf_counter() - _t0) * 1000
         if input.benchmark:
             from .modules import record_benchmark_layer
 
@@ -198,6 +209,7 @@ class SparseConvolution(Module):
             record_benchmark_layer(
                 out, name, self, n_in=input.num_voxels,
                 n_out=out.num_voxels, num_pairs=num_pairs,
+                time_ms=time_ms,
             )
         return out
 

@@ -60,14 +60,17 @@ def _accepts_training(layer) -> bool:
 
 
 def record_benchmark_layer(out, name, module, *, n_in=None, n_out=None,
-                           num_pairs=None):
+                           num_pairs=None, time_ms=None):
     """Append a per-layer record to ``out.benchmark_record`` under
     ``benchmark=True`` (parity: reference per-layer time/voxel recording,
-    ``conv.py:201-224,494-501``).  On TPU, per-layer *time* comes from
-    profiler traces via the ``jax.named_scope`` wrapping each layer;
-    the record carries the layer geometry and voxel counts.  Device
-    scalars are only materialized OUTSIDE jit (recording a tracer would
-    leak it through the non-pytree aux slot)."""
+    ``conv.py:201-224,494-501``).  On eager (non-jit) passes the record
+    carries the layer's measured device time in ``time_ms`` — exactly the
+    reference's benchmark mode, which likewise syncs per layer; inside
+    jit, per-layer time comes from profiler traces via the
+    ``jax.named_scope`` wrapping each layer and the record carries
+    geometry + voxel counts only.  Device scalars are only materialized
+    OUTSIDE jit (recording a tracer would leak it through the non-pytree
+    aux slot)."""
     import jax.core as _core
 
     def _concrete(v):
@@ -87,6 +90,9 @@ def record_benchmark_layer(out, name, module, *, n_in=None, n_out=None,
         # layer MACs = num_pairs * C_in * C_out — feeds the bench's MFU
         # estimate (reference analog: per-layer voxel stats, conv.py:201)
         "num_pairs": _concrete(num_pairs),
+        # eager-pass wall time incl. the layer-boundary sync (reference
+        # benchmark-mode semantics); None inside jit
+        "time_ms": None if time_ms is None else float(time_ms),
     }
     for attr in ("in_channels", "out_channels", "kernel_size", "stride",
                  "algo", "indice_key"):

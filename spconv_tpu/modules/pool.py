@@ -72,8 +72,19 @@ class _SparsePoolBase(Module):
         """Forward wrapped in ``jax.named_scope`` + per-layer voxel
         recording under ``benchmark=True`` (see conv.py counterpart)."""
         name = self.name or type(self).__name__
+        eager_bench = (input.benchmark
+                       and not isinstance(input.features, jax.core.Tracer))
+        if eager_bench:
+            import time as _time
+
+            jax.block_until_ready(input.features)
+            _t0 = _time.perf_counter()
         with jax.named_scope(name):
             out = self._forward(input)
+        time_ms = None
+        if eager_bench:
+            jax.block_until_ready(out.features)
+            time_ms = (_time.perf_counter() - _t0) * 1000
         if input.benchmark:
             from .modules import record_benchmark_layer
 
@@ -81,7 +92,7 @@ class _SparsePoolBase(Module):
                 out.benchmark_record.setdefault(k, v)
             record_benchmark_layer(
                 out, name, self, n_in=input.num_voxels,
-                n_out=out.num_voxels,
+                n_out=out.num_voxels, time_ms=time_ms,
             )
         return out
 

@@ -82,12 +82,18 @@ def pool2_seg(
     of doing kv random pair-table gathers).  Measured 13.6 ms vs the
     pair-table path's 66.3 ms at 914k voxels / C=64 on v5e.
 
+    (r5 note: a log-shift run-reduction formulation — ndim roll+select
+    passes + 1-lane position scatter + row gather — was built and
+    MEASURED SLOWER on v5e: 20.9 ms fwd / 52.0 ms fwd+bwd vs this
+    formulation's 14.7 / 24.7; the rolled [N,C] copies cost more HBM
+    traffic than the sorted scatter saves.  Reverted.)
+
     Semantics parity: ``spconv/csrc/sparse/maxpool.py`` fwd kernels;
     avg = present-count normalization (``maxpool.py:211-302``).
 
     Returns ``(out_features [out_bound, C], out_indices
-    [out_bound, ndim+1], num_out)``; invalid tail rows are 0-features /
-    -1-indices.
+    [out_bound, ndim+1], num_out, num_out_total)``; invalid tail rows
+    are 0-features / -1-indices.
     """
     n, c = features.shape
     ndim = indices.shape[1] - 1

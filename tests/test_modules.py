@@ -266,7 +266,7 @@ def test_pool2_seg_preserves_nonfinite(rng):
                      [-1, -1, -1, -1]], np.int32)
     feats = np.array([[-np.inf, 1.0], [-np.inf, 0.5],
                       [np.inf, np.nan], [0.0, 0.0]], np.float32)
-    out_feat, out_inds, num_out = pool2_seg(
+    out_feat, out_inds, num_out, _total = pool2_seg(
         jnp.asarray(feats), jnp.asarray(inds),
         spatial_shape=(4, 4, 4), batch_size=1, out_bound=8, mode="max")
     out_feat = np.asarray(out_feat)

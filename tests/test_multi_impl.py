@@ -68,6 +68,7 @@ def _clone_weights(dst: _Net, src: _Net):
             a.bias = b.bias
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("alt_algo", ["sk", "dg"])
 def test_multi_impl_deep_net(rng, alt_algo):
     shape = (13, 21, 21)

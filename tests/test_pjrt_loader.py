@@ -1,0 +1,84 @@
+"""Pure-C++ PJRT deployment loader (parity:
+``/root/reference/example/libspconv/main.cu:177-436`` — C++ inference
+with no Python).  Builds ``examples/pjrt_loader/pjrt_loader.cc`` with
+g++ against the single-header PJRT C API, exports a real spconv_tpu
+encoder to StableHLO, and runs it through a PJRT plugin .so end-to-end.
+
+Runs against the axon TPU plugin when present (this environment);
+skips cleanly when no PJRT plugin .so is available.
+"""
+
+import os
+import shutil
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+LOADER_DIR = REPO / "examples" / "pjrt_loader"
+PLUGIN = os.environ.get("SPCONV_TPU_PJRT_PLUGIN", "/opt/axon/libaxon_pjrt.so")
+
+
+def _clean_env():
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    return env
+
+
+def _dump_plugin_options(artifact_dir: Path):
+    """PJRT create_options are plugin-specific (libtpu/CPU plugins need
+    none).  For managed plugins, mirror whatever options the Python
+    client was registered with — introspected from jax's backend
+    factory registry — into the loader's plugin_options.txt."""
+    platform = os.environ.get("SPCONV_TPU_PJRT_PLATFORM", "axon")
+    lines = []
+    try:
+        import jax._src.xla_bridge as xb
+
+        fac = xb._backend_factories.get(platform)
+        options = getattr(getattr(fac, "factory", None), "keywords",
+                          {}).get("options") or {}
+        for k, v in options.items():
+            if isinstance(v, bool):
+                lines.append(f"{k} i64 {int(v)}")
+            elif isinstance(v, int):
+                lines.append(f"{k} i64 {v}")
+            elif isinstance(v, str) and " " not in v:
+                lines.append(f"{k} str {v}")
+    except Exception:
+        pass
+    (artifact_dir / "plugin_options.txt").write_text(
+        "\n".join(lines) + ("\n" if lines else ""))
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not Path(PLUGIN).exists(),
+                    reason=f"no PJRT plugin at {PLUGIN} "
+                           "(set SPCONV_TPU_PJRT_PLUGIN)")
+@pytest.mark.skipif(shutil.which("g++") is None, reason="no g++")
+def test_cpp_loader_end_to_end():
+    # 1. build the loader
+    r = subprocess.run(["sh", str(LOADER_DIR / "build.sh")],
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    # 2. export the artifact (CPU backend; cheap, deterministic goldens)
+    if not (LOADER_DIR / "artifact" / "module.mlirbc").exists():
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        r = subprocess.run([sys.executable,
+                            str(LOADER_DIR / "export_model.py")],
+                           capture_output=True, text=True, timeout=900,
+                           env=env)
+        assert r.returncode == 0, (r.stdout[-1000:], r.stderr[-2000:])
+
+    _dump_plugin_options(LOADER_DIR / "artifact")
+
+    # 3. run the C++ loader against the plugin — zero Python inside
+    r = subprocess.run([str(LOADER_DIR / "pjrt_loader"), PLUGIN,
+                        str(LOADER_DIR / "artifact")],
+                       capture_output=True, text=True, timeout=900,
+                       env=_clean_env())
+    assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-2000:])
+    assert "PJRT_LOADER_OK" in r.stdout

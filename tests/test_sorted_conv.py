@@ -681,6 +681,7 @@ def test_dg_rows_strided_module(rng, monkeypatch):
     assert z_dg.spatial_shape == x.spatial_shape
 
 
+@pytest.mark.slow
 def test_dg_pos_cached_matches_search(rng):
     """Posmode DG conv (cached match rows, no in-kernel search) must be
     bit-identical to the searching DG forward, incl. grads and the
@@ -773,6 +774,7 @@ def test_dg_pos_module_cache_reuse(rng):
         rtol=5e-5, atol=5e-5)
 
 
+@pytest.mark.slow
 def test_dg_offmode_f32_matches_native(rng):
     """Offset-major gather mode (cg > kv → per-offset [cg,128] gathers,
     offset-major gbuf, no gs-pad GEMM rows) — f32 at C=32 triggers it;
@@ -833,6 +835,7 @@ def test_dg_offmode_bf16_pack2(rng):
         np.asarray(ref, np.float32)[valid], rtol=2e-2, atol=2e-2)
 
 
+@pytest.mark.slow
 def test_dg_offmode_int8_q4(rng):
     """Offset-major mode with int8 quad packing (C=128 → cq=32 > kv=27)
     — bit-exact vs the int32 gather reference."""
@@ -863,6 +866,7 @@ def test_dg_offmode_int8_q4(rng):
                                   np.asarray(ref)[valid])
 
 
+@pytest.mark.slow
 def test_dg_int8_posmode(rng):
     """int8 DG conv through the cached-match-rows (posmode) path, with
     and without the fused residual add — bit-identical to the searching
