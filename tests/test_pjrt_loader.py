@@ -75,10 +75,16 @@ def test_cpp_loader_end_to_end():
 
     _dump_plugin_options(LOADER_DIR / "artifact")
 
-    # 3. run the C++ loader against the plugin — zero Python inside
-    r = subprocess.run([str(LOADER_DIR / "pjrt_loader"), PLUGIN,
-                        str(LOADER_DIR / "artifact")],
-                       capture_output=True, text=True, timeout=900,
-                       env=_clean_env())
+    # 3. run the C++ loader against the plugin — zero Python inside the
+    # inference process (os.execv REPLACES the launcher; python here only
+    # provides the env that this environment's sitecustomize would set
+    # for any process using the managed plugin — a real libtpu/CPU plugin
+    # needs no such bootstrap: run ./pjrt_loader directly)
+    loader = str(LOADER_DIR / "pjrt_loader")
+    r = subprocess.run(
+        [sys.executable, "-c",
+         f"import os; os.execv({loader!r}, [{loader!r}, {PLUGIN!r}, "
+         f"{str(LOADER_DIR / 'artifact')!r}])"],
+        capture_output=True, text=True, timeout=900, env=_clean_env())
     assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-2000:])
     assert "PJRT_LOADER_OK" in r.stdout
